@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.expr.ExtractMainText
+
+/** Session bootstrap: function registration + scale-oriented defaults.
+  *
+  * The reference validates its engine once at startup
+  * (ocr_logic.py:12-55 configure_tesseract); our analogue registers the
+  * extraction expressions in the session's function registry so both
+  * the DataFrame API (`call_function`) and plain SQL can reach them.
+  */
+object GraftSession {
+
+  def register(spark: SparkSession): SparkSession = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "graft_extract",
+      exprs => ExtractMainText(exprs.head, exprs(1)),
+      "scala_udf")
+    spark
+  }
+
+  /** Local session with the defaults every graft entry point uses:
+    * shuffle partitions sized to cores (not 200), AQE + skew-join on,
+    * UTC (byte-identity: no timezone leakage, SURVEY.md §7.7). */
+  def local(cores: Int, appName: String = "graft"): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    register(spark)
+  }
+}

@@ -1,0 +1,251 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.ExtractPipeline
+
+/** Operator battery — one entry per implemented operator class from
+  * SURVEY.md §2 (+ training-data ops in `ops/`). Conventions for the
+  * driver's DuckDB compare:
+  *   - every computed column aliased identically in Spark and SQL;
+  *   - deterministic ORDER BY on a unique key in both;
+  *   - money aggregates: exact DECIMAL(18,2) sum, then cast to DOUBLE
+  *     on both sides so floating summation order can never differ.
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // ----- extraction queries (non-SQL-expressible → golden scalatests) -----
+
+  private val extraction: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1-S5/P1/F5: full scan→dispatch→extract pipeline (SURVEY §3.1)
+    "x1_extract_pages" -> ((s, _) => {
+      GraftSession.register(s)
+      ExtractPipeline.extracted(ExtractPipeline.pages(s, 2000).toDF())
+        .orderBy("url")
+    }),
+    // spans view (region-extract stage output)
+    "x2_extract_spans" -> ((s, _) => {
+      GraftSession.register(s)
+      ExtractPipeline.extracted(ExtractPipeline.pages(s, 1000).toDF())
+        .filter(col("error").isNull)
+        .select(col("url"), posexplode(col("spans")).as(Seq("span_idx", "span")))
+        .select(col("url"), col("span_idx"), col("span.start").as("start"),
+          col("span.end").as("end"), col("span.kind").as("kind"))
+        .orderBy("url", "span_idx")
+    }),
+    // error-as-row policy (ocr_parallel_ui.py:33-34)
+    "x3_extract_errors" -> ((s, _) => {
+      GraftSession.register(s)
+      ExtractPipeline.extracted(ExtractPipeline.pages(s, 2000).toDF())
+        .filter(col("error").isNotNull)
+        .select(col("url"), col("error"))
+        .orderBy("url")
+    }),
+    // north rule: bucket+salt layout columns
+    "x4_extract_bucketed" -> ((s, _) => {
+      GraftSession.register(s)
+      val pages = ExtractPipeline.pages(s, 2000).toDF()
+      val hot = ExtractPipeline.hotHosts(pages, 1000, 0.05)
+      ExtractPipeline.withBucket(ExtractPipeline.extracted(pages), 32, hot, 8)
+        .select(col("url"), col("bucket"), col("salt"))
+        .orderBy("url")
+    }))
+
+  // ----- relational operators over /root/testdata (DuckDB-oracled) -----
+
+  private val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1-analogue relational aggregation (TPC-H Q1 shape)
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+          sum((col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    // P2/P5/P6: predicate + projection, pushed to the parquet scan
+    "q2_filter_pushdown" -> ((s, dir) => {
+      t(s, dir, "part")
+        .filter(col("p_size") >= 25 && col("p_type") === "PROMO")
+        .select(col("p_partkey"), col("p_name"), col("p_size"))
+        .orderBy("p_partkey")
+    }),
+    // J-class: broadcast equi-join chain over small dims
+    "q3_join_broadcast" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = broadcast(t(s, dir, "customer"))
+      val n = broadcast(t(s, dir, "nation"))
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+        .orderBy("n_name")
+    }),
+    // O-class: global sort + limit (top-k)
+    "q4_sort_limit" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .limit(100)
+    }),
+    // window functions (SURVEY §2.5: page-ordinal analogue)
+    "q5_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("l_suppkey"), col("rn"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy("l_suppkey", "rn")
+    }),
+    // distinct
+    "q6_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus")).distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    // set operations: INTERSECT (distinct) + EXCEPT in one nation view
+    "q7_setops" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").cast("int").as("nationkey"))
+      val su = t(s, dir, "supplier").select(col("s_nationkey").cast("int").as("nationkey"))
+      c.intersect(su).orderBy("nationkey")
+    }),
+    "q7b_except" -> ((s, dir) => {
+      import s.implicits._
+      val types = t(s, dir, "events").select(col("event_type"))
+      val drop = Seq("click", "view").toDF("event_type")
+      types.except(drop).orderBy("event_type")
+    }),
+    // left-semi join (EXISTS)
+    "q8_semijoin" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    }),
+    // grouping sets / rollup
+    "q9_rollup" -> ((s, dir) => {
+      val c = broadcast(t(s, dir, "customer"))
+      val n = broadcast(t(s, dir, "nation"))
+      val o = t(s, dir, "orders")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .rollup(col("n_name"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(asc_nulls_first("n_name"), asc_nulls_first("o_orderpriority"))
+    }),
+    // time-bucketed aggregation over the events table (ST-class analogue)
+    "q10_events_hourly" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+        .orderBy("hour", "event_type")
+    }),
+    // P8/F7/F8: regexp strip + trim + format on documents
+    "q11_string_funcs" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          length(trim(regexp_replace(col("text"), "(?m)^\\s*(>>>|\\.\\.\\.)\\s?", ""))).as("clean_len"),
+          format_string("doc-%05d/%s", col("doc_id"), col("lang")).as("tag"))
+        .orderBy("doc_id")
+    }),
+    // P1: conditional dispatch expression (when/otherwise)
+    "q12_case_dispatch" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(
+          col("event_id"),
+          when(col("event_type") === "click", lit("ui"))
+            .when(col("event_type") === "purchase", lit("commerce"))
+            .otherwise(lit("other")).as("channel"),
+          when(col("value") > 100.0, col("value") * 0.9).otherwise(col("value")).as("adj_value"))
+        .orderBy("event_id")
+    }))
+
+  def all: Map[String, (SparkSession, String) => DataFrame] =
+    extraction ++ relational ++ graft.ops.OpsQueries.all
+
+  /** DuckDB-dialect oracles. Keys absent here (extraction + non-SQL
+    * ops) get the driver's weaker rows-only check and are covered by
+    * scalatest goldens instead. */
+  def oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        | COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_filter_pushdown" ->
+      """SELECT p_partkey, p_name, p_size FROM part
+        |WHERE p_size >= 25 AND p_type = 'PROMO'
+        |ORDER BY p_partkey""".stripMargin,
+    "q3_join_broadcast" ->
+      """SELECT n_name, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q4_sort_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+    "q5_window" ->
+      """SELECT l_suppkey, rn, l_orderkey, l_linenumber FROM (
+        | SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  ROW_NUMBER() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+        | FROM lineitem) WHERE rn <= 3
+        |ORDER BY l_suppkey, rn""".stripMargin,
+    "q6_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q7_setops" ->
+      """SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+        |INTERSECT SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+    "q7b_except" ->
+      """SELECT event_type FROM events
+        |EXCEPT SELECT * FROM (VALUES ('click'), ('view')) v(event_type)
+        |ORDER BY event_type""".stripMargin,
+    "q8_semijoin" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q9_rollup" ->
+      """SELECT n_name, o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP (n_name, o_orderpriority)
+        |ORDER BY n_name NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q10_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q11_string_funcs" ->
+      """SELECT doc_id,
+        | LENGTH(TRIM(REGEXP_REPLACE(text, '(?m)^\s*(>>>|\.\.\.)\s?', '', 'g'))) AS clean_len,
+        | printf('doc-%05d/%s', doc_id, lang) AS tag
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q12_case_dispatch" ->
+      """SELECT event_id,
+        | CASE WHEN event_type = 'click' THEN 'ui'
+        |      WHEN event_type = 'purchase' THEN 'commerce'
+        |      ELSE 'other' END AS channel,
+        | CASE WHEN value > 100.0 THEN value * 0.9 ELSE value END AS adj_value
+        |FROM events ORDER BY event_id""".stripMargin
+  ) ++ graft.ops.OpsQueries.oracles
+}

@@ -1,0 +1,69 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.gen.{PageGen, PageRow}
+
+/** preprocess → region-extract → recognize → export as declarative
+  * Dataset stages (SURVEY.md §7.3). The per-page loop of the reference
+  * (main_window.py:347-385) is per-row expression evaluation inside
+  * whole-stage codegen; engine parallelism (ThreadPoolExecutor,
+  * ocr_parallel_ui.py:24) is Spark task parallelism.
+  */
+object ExtractPipeline {
+
+  /** Synthesize the Common-Crawl-style input table (FIXTURES.md §1).
+    * Generation is distributed: each task materializes only its id
+    * range — at 10^12 rows this is a parallel scan, not a driver loop. */
+  def pages(spark: SparkSession, n: Long): Dataset[PageRow] = {
+    import spark.implicits._
+    spark.range(0L, n, 1L, math.min(n, spark.sparkContext.defaultParallelism.toLong * 4L).toInt)
+      .mapPartitions(_.map(id => PageGen.row(id.longValue())))
+  }
+
+  /** The recognize stage: one single-pass expression evaluation per
+    * row → (url, text, spans, lang, error). No shuffle — extraction is
+    * row-local (1 row = 1 document), so this scales linearly with
+    * executors at any data size. */
+  def extracted(pages: DataFrame): DataFrame =
+    pages
+      .withColumn("r", call_function("graft_extract", col("html"), col("lang")))
+      .select(
+        col("url"),
+        col("r.text").as("text"),
+        col("r.spans").as("spans"),
+        col("lang"),
+        col("r.error").as("error"))
+
+  /** Physical partitioning for the export stage (north rule:
+    * "hash-bucketed by url with salting for skewed hosts").
+    *
+    * bucket = pmod(xxhash64(url), B) — the layout key; deterministic,
+    * so re-runs and resumes address the same bucket set.
+    * salt — nonzero only for rows whose host is in the hot set,
+    * spreading a skewed host across `salts` sub-splits. Extraction is
+    * row-local, so salting can never change results (SURVEY.md §7.4);
+    * lineage still aggregates by logical bucket, not salted split.
+    */
+  def withBucket(df: DataFrame, buckets: Int, hotHosts: Seq[String], salts: Int): DataFrame = {
+    val host = regexp_extract(col("url"), "^https?://([^/]+)/", 1)
+    df.withColumn("bucket", pmod(xxhash64(col("url")), lit(buckets)).cast("int"))
+      .withColumn(
+        "salt",
+        when(host.isin(hotHosts: _*), pmod(xxhash64(col("url"), lit(1)), lit(salts)).cast("int"))
+          .otherwise(lit(0)))
+  }
+
+  /** Cheap hot-host pre-pass on a deterministic sample: hosts holding
+    * more than `threshold` of sampled rows are salted (SURVEY.md §7.4
+    * — broadcastable small set, computed once per job). */
+  def hotHosts(pages: DataFrame, sampleN: Long, threshold: Double): Seq[String] = {
+    val host = regexp_extract(col("url"), "^https?://([^/]+)/", 1)
+    val sampled = pages.select(host.as("host")).limit(sampleN.toInt)
+    val counts = sampled.groupBy("host").count()
+    val total = math.max(1L, sampled.count())
+    counts.filter(col("count") > lit(threshold * total))
+      .collect().map(_.getString(0)).toSeq.sorted
+  }
+}
