@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.expr.ExtractMainText
+import graft.expr.{ExtractMainText, LangId, LshBucket, MinHashSig, SimHash64, Winnow}
 
 /** Session bootstrap: function registration + scale-oriented defaults.
   *
@@ -19,6 +19,16 @@ object GraftSession {
       "graft_extract",
       exprs => ExtractMainText(exprs.head, exprs(1)),
       "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_simhash", exprs => SimHash64(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_minhash", exprs => MinHashSig(exprs.head, 64), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_fingerprint", exprs => Winnow(exprs.head, 16), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_langid", exprs => LangId(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_lsh_bucket", exprs => LshBucket(exprs.head, exprs(1)), "scala_udf")
     spark
   }
 

@@ -1,0 +1,186 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic 64-bit hashing primitives shared by the text-analysis
+  * expressions. FNV-1a and splitmix64 are fixed public algorithms —
+  * results are bit-identical on every JVM (byte-identity discipline,
+  * SURVEY.md §7.7). */
+object Hash64 {
+  val FnvOffset = 0xcbf29ce484222325L
+  val FnvPrime = 0x100000001b3L
+
+  def fnv1a(s: String, from: Int, until: Int): Long = {
+    var h = FnvOffset
+    var i = from
+    while (i < until) {
+      // hash UTF-16 code units directly (fixed, documented choice)
+      val c = s.charAt(i)
+      h = (h ^ (c & 0xff)) * FnvPrime
+      h = (h ^ ((c >> 8) & 0xff)) * FnvPrime
+      i += 1
+    }
+    h
+  }
+  def fnv1a(s: String): Long = fnv1a(s, 0, s.length)
+
+  def mix(z0: Long): Long = { // splitmix64 finalizer
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+}
+
+/** `graft_simhash(text) -> BIGINT` — 64-bit SimHash over whitespace
+  * tokens (Charikar 2002): per-token FNV-1a hash votes ±1 on each bit;
+  * the sign vector is the fingerprint. Near-duplicate docs differ in
+  * few bits (hamming distance), enabling band-join dedup at scale. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "graft_simhash"
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    val acc = new Array[Int](64)
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+      if (i > start) {
+        val h = Hash64.fnv1a(s, start, i)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) acc(j) += 1 else acc(j) -= 1
+          j += 1
+        }
+      }
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (acc(j) > 0) out |= (1L << j); j += 1 }
+    java.lang.Long.valueOf(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** `graft_minhash(text, k) -> ARRAY<BIGINT>` — k-permutation MinHash
+  * signature over word 3-gram shingles (Broder 1997). Permutation i is
+  * splitmix64(shingleHash ^ mix(i)); the signature element is the
+  * minimum over shingles. Banding for LSH happens in plain column math
+  * downstream (`xxhash64(slice(sig, …))`). */
+case class MinHashSig(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "graft_minhash"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  @transient private lazy val seeds: Array[Long] =
+    Array.tabulate(k)(i => Hash64.mix(0x5eed0000L + i))
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    val sig = Array.fill(k)(Long.MaxValue)
+    // rolling word-3-gram shingles without materializing the token list
+    var w0 = 0L; var w1 = 0L // previous two word hashes
+    var seen = 0 // words consumed so far
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+      if (i > start) {
+        val w2 = Hash64.fnv1a(s, start, i)
+        seen += 1
+        if (seen >= 3) { // shingle emitted from the 3rd word on
+          val shingle = Hash64.mix(w0 ^ Hash64.mix(w1) ^ Hash64.mix(Hash64.mix(w2)))
+          var j = 0
+          while (j < k) {
+            val h = Hash64.mix(shingle ^ seeds(j))
+            if (h < sig(j)) sig(j) = h
+            j += 1
+          }
+        }
+        w0 = w1; w1 = w2
+      }
+    }
+    new GenericArrayData(sig.map(l => l: Any))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `graft_fingerprint(text, window) -> ARRAY<BIGINT>` — winnowing
+  * document fingerprint (Schleimer et al., SIGMOD 2003): rolling hash
+  * over character 8-grams, minimum per sliding window, deduplicated,
+  * sorted. Robust to small edits; used for containment-style overlap
+  * detection. */
+case class Winnow(child: Expression, window: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "graft_fingerprint"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private val Gram = 8
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    val n = s.length
+    if (n < Gram) return new GenericArrayData(Array.empty[Any])
+    val m = n - Gram + 1
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) { hs(i) = Hash64.mix(Hash64.fnv1a(s, i, i + Gram)); i += 1 }
+    val out = scala.collection.mutable.TreeSet.empty[Long]
+    var w = 0
+    while (w + window <= m) {
+      var best = Long.MaxValue
+      var j = w
+      while (j < w + window) { if (hs(j) < best) best = hs(j); j += 1 }
+      out += best
+      w += window // non-overlapping windows: fixed deterministic scheme
+    }
+    if (w < m) { // tail window
+      var best = Long.MaxValue
+      var j = w
+      while (j < m) { if (hs(j) < best) best = hs(j); j += 1 }
+      out += best
+    }
+    new GenericArrayData(out.toArray.map(l => l: Any))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `graft_langid(text) -> STRING` — script-ratio language heuristic
+  * mirroring the reference's lang dimension (`ara+eng`/`ara`/`eng`,
+  * main_window.py:460): counts Arabic-block vs Latin letters;
+  * ≥70% Arabic → "ar", ≥5% both → "mixed", else "en". Deterministic
+  * integer thresholds. */
+case class LangId(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "graft_langid"
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    var ar = 0L; var lat = 0L
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if ((c >= 0x0600 && c <= 0x06FF) || (c >= 0x0750 && c <= 0x077F)) ar += 1
+      else if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) lat += 1
+      i += 1
+    }
+    val total = ar + lat
+    val lang =
+      if (total == 0) "und"
+      else if (ar * 10 >= total * 7) "ar"
+      else if (ar * 20 >= total && lat * 20 >= total) "mixed"
+      else if (ar > lat) "ar"
+      else "en"
+    UTF8String.fromString(lang)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}

@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale deduplication operators for training-data pipelines.
+  *
+  * All shapes are shuffle-conscious: candidate generation goes through
+  * equi-joins on compact keys (band hashes / shingles), never an
+  * all-pairs cross join — at 10^12 docs the only feasible topology.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content hash (sha2-256 — collision-safe at
+    * any scale, unlike 64-bit), keep the minimum id. One shuffle on
+    * the hash; partial aggregation does the map-side heavy lifting. */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(sha2(col(textCol), 256).as("text_sha"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
+      .filter(col("dup_cnt") > 1)
+
+  /** Word 3-gram shingle set via pure built-ins (codegen'd):
+    * slide a 3-window over the whitespace tokens. */
+  def shingles(textCol: Column): Column = {
+    val words = split(trim(textCol), "\\s+")
+    array_distinct(
+      when(size(words) >= 3,
+        transform(sequence(lit(0), size(words) - 3),
+          i => concat_ws(" ", slice(words, i + 1, lit(3)))))
+        .otherwise(array()))
+  }
+
+  /** Exact n-gram Jaccard similarity for candidate pairs that share at
+    * least one shingle (inverted-index equi-join — the scalable shape:
+    * shuffle keyed by shingle, never cross-join). */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        minJaccard: Double): DataFrame = {
+    val sets = docs.select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
+      .withColumn("n", size(col("sh")))
+      .filter(col("n") > 0)
+    val inv = sets.select(col("id"), col("n"), explode(col("sh")).as("shingle"))
+    val shared = inv.as("a").join(inv.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"),
+        first(col("a.n")).as("n_a"), first(col("b.n")).as("n_b"))
+    shared
+      .withColumn("jaccard",
+        col("shared").cast("double") /
+          (col("n_a") + col("n_b") - col("shared")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash+LSH near-dup pairs: signature (graft_minhash expression)
+    * → band hashes → equi-join on (band, bandHash) → estimated
+    * Jaccard = matching signature positions / k. Candidates explode
+    * only where bands collide, so the join stays sparse at scale. */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 64, bands: Int = 16, minEstJaccard: Double = 0.5): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val r = k / bands
+    val sig = docs.select(
+      col(idCol).as("id"),
+      call_function("graft_minhash", col(textCol)).as("sig"))
+    val banded = sig.select(
+      col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, slice(col("sig"), b * lit(r) + 1, lit(r))))).as(Seq("band", "band_hash")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          b => b)).cast("double") / lit(k.toDouble))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** SimHash near-dup pairs: 64-bit fingerprints banded into `chunks`
+    * equal bit-slices (pigeonhole: hamming ≤ chunks−1 ⇒ at least one
+    * slice equal — so `chunks` must exceed `maxHamming`), equi-join per
+    * slice, exact hamming verify via bit_count(xor). Fewer chunks =
+    * fewer candidate collisions (scale-friendly, tight radius); more
+    * chunks = wider radius. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
+    require(64 % chunks == 0 && chunks > maxHamming,
+      "need 64 % chunks == 0 and chunks > maxHamming (pigeonhole guarantee)")
+    val width = 64 / chunks
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val fp = docs.select(col(idCol).as("id"),
+      call_function("graft_simhash", col(textCol)).as("fp"))
+    val chunked = fp.select(col("id"), col("fp"),
+      explode(array((0 until chunks).map { ci =>
+        struct(lit(ci).as("chunk"),
+          shiftrightunsigned(col("fp"), ci * width).bitwiseAND(lit(mask)).as("chunk_val"))
+      }: _*)).as("cv"))
+      .select(col("id"), col("fp"), col("cv.chunk").as("chunk"), col("cv.chunk_val").as("chunk_val"))
+    chunked.as("a").join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Embedding cosine near-dup pairs via LSH bucketing (see
+    * Similarity.lshBucket): only same-bucket pairs are compared —
+    * the 10^12-scale path; brute force stays in the test oracle. */
+  def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                            minCosine: Double, planes: Int = 12): DataFrame = {
+    val b = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      call_function("graft_lsh_bucket", col(vecCol), lit(planes)).as("bucket"))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("cosine", Similarity.cosine(col("a.v"), col("b.v")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
+  }
+}

@@ -1,0 +1,46 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.tables.IceTable
+
+/** The flagship end-to-end job: synthesize/scan pages →
+  * preprocess/region-extract/recognize (graft_extract) → bucket+salt →
+  * IceTable commit with per-bucket lineage (SURVEY.md §3.1 Spark shape).
+  *
+  * At cluster scale the same plan holds: `pages` becomes an Iceberg
+  * scan instead of a generator, everything else is unchanged — no
+  * driver-side loops, no collect, extraction is row-local (zero
+  * shuffles before the bucketed write exchange).
+  */
+object ExtractJob {
+
+  final case class Result(snapshotId: Long, docs: Long, errorRows: Long)
+
+  def run(
+      spark: SparkSession,
+      root: String,
+      nDocs: Long,
+      buckets: Int = 32,
+      groups: Int = 8,
+      salts: Int = 8,
+      commitId: String = "c0",
+      abortAfterGroup: Int = -1): Result = {
+    GraftSession.register(spark)
+    val pages = ExtractPipeline.pages(spark, nDocs).toDF()
+    val hot = ExtractPipeline.hotHosts(pages, math.min(nDocs, 2000L), 0.05)
+    val out = ExtractPipeline.withBucket(
+      ExtractPipeline.extracted(pages), buckets, hot, salts)
+      // one exchange: co-locate by (bucket, salt) so a hot host's rows
+      // spread over `salts` tasks instead of hot-spotting one
+      .repartition(col("bucket"), col("salt"))
+      .drop("salt")
+    val table = new IceTable(root, spark)
+    val snap = table.commit(out, commitId, groups, abortAfterGroup)
+    val lin = table.lineage(Some(snap))
+      .agg(sum("rows").as("rows"), sum("error_rows").as("errs")).collect()(0)
+    Result(snap, lin.getLong(0), lin.getLong(1))
+  }
+}

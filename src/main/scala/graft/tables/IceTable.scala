@@ -1,0 +1,229 @@
+package graft.tables
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Iceberg-style table: partitioned parquet + a JSON snapshot/manifest
+  * log with atomic commits, per-partition lineage + metrics rows, and
+  * bucket-group checkpoint markers for resumability.
+  *
+  * Mirrors the reference's snapshot discipline (backup_manager.py:23-77:
+  * timestamped validated snapshots, list, restore) at table granularity
+  * (SURVEY.md §7.2). No Iceberg runtime jar exists in this environment,
+  * so the metadata layer is implemented from scratch over the Hadoop
+  * FileSystem API (works on local FS and HDFS/S3A alike).
+  *
+  * Layout:
+  * {{{
+  *   root/data/commit-<id>/grp=G/bucket=B/part-*.parquet
+  *   root/metadata/snap-<n>.json           — file list + lineage + metrics
+  *   root/metadata/version-hint.text       — latest snapshot number
+  *   root/metadata/progress/<id>/group-G.done — resume checkpoint markers
+  *   root/metadata/lineage/<id>/           — per-bucket lineage parquet
+  * }}}
+  *
+  * Commit protocol: data files land under a commit-unique directory
+  * (never mutated), the snapshot JSON is written to a temp name and
+  * renamed into place, and the version hint flips last — a crash at any
+  * point leaves the previous snapshot intact and readable ("crash
+  * before pointer flip = invisible"). Recovery never trusts the hint
+  * alone: readers fall back to listing `snap-*.json` for the max n.
+  */
+final class IceTable(val root: String, spark: SparkSession) {
+
+  private val conf = spark.sparkContext.hadoopConfiguration
+  private def fs: FileSystem = new Path(root).getFileSystem(conf)
+
+  private def metaDir = new Path(root, "metadata")
+  private def snapPath(n: Long) = new Path(metaDir, s"snap-$n.json")
+  private def hintPath = new Path(metaDir, "version-hint.text")
+
+  // ---- snapshot log ---------------------------------------------------
+
+  final case class DataFileEntry(path: String, bytes: Long)
+  final case class Snapshot(
+      id: Long,
+      parentId: Long,
+      commitId: String,
+      files: Seq[DataFileEntry],
+      rows: Long,
+      lineagePath: String)
+
+  /** Latest snapshot id: hint if valid, else list-scan (crash-safe). */
+  def currentSnapshotId: Option[Long] = {
+    val listed: Seq[Long] =
+      if (!fs.exists(metaDir)) Nil
+      else fs.listStatus(metaDir).toSeq
+        .map(_.getPath.getName)
+        .collect { case s if s.startsWith("snap-") && s.endsWith(".json") =>
+          s.stripPrefix("snap-").stripSuffix(".json").toLong
+        }
+    if (listed.isEmpty) None else Some(listed.max)
+  }
+
+  def snapshots: Seq[Long] = {
+    if (!fs.exists(metaDir)) return Nil
+    fs.listStatus(metaDir).toSeq.map(_.getPath.getName)
+      .collect { case s if s.startsWith("snap-") && s.endsWith(".json") =>
+        s.stripPrefix("snap-").stripSuffix(".json").toLong
+      }.sorted
+  }
+
+  def readSnapshot(n: Long): Snapshot = {
+    val in = fs.open(snapPath(n))
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    parseSnapshot(txt)
+  }
+
+  /** Read the table at a snapshot (time travel) or latest. */
+  def read(asOf: Option[Long] = None): DataFrame = {
+    val id = asOf.orElse(currentSnapshotId)
+      .getOrElse(throw new IllegalStateException(s"no snapshot in $root"))
+    val snap = readSnapshot(id)
+    if (snap.files.isEmpty) spark.emptyDataFrame
+    else spark.read
+      // explicit manifest file list (Iceberg-style: plans from metadata,
+      // no directory listing on the read path); basePath recovers the
+      // grp/bucket partition columns for partition pruning
+      .option("basePath", s"$root/data/commit-${snap.commitId}")
+      .parquet(snap.files.map(_.path): _*)
+      .drop("grp")
+  }
+
+  /** Per-bucket lineage + metrics rows of a snapshot. */
+  def lineage(asOf: Option[Long] = None): DataFrame = {
+    val id = asOf.orElse(currentSnapshotId)
+      .getOrElse(throw new IllegalStateException(s"no snapshot in $root"))
+    spark.read.parquet(readSnapshot(id).lineagePath)
+  }
+
+  // ---- commit ----------------------------------------------------------
+
+  /** Atomic overwrite-commit of `df` (already carrying a `bucket`
+    * column), processed in `groups` resumable bucket-groups.
+    *
+    * Each group is one Spark job writing `data/commit-<id>/group=G/`
+    * partitioned by bucket, plus that group's lineage rows, plus a
+    * `.done` marker. A re-run with the same `commitId` skips finished
+    * groups — "resumable from checkpoint after any executor loss"
+    * (north rule). The snapshot flips only after every group landed.
+    */
+  def commit(df: DataFrame, commitId: String, groups: Int = 8,
+             abortAfterGroup: Int = -1): Long = {
+    require(df.columns.contains("bucket"), "df must carry a bucket column")
+    val dataDir = new Path(root, s"data/commit-$commitId")
+    val progressDir = new Path(metaDir, s"progress/$commitId")
+    val lineageDir = s"$root/metadata/lineage/$commitId"
+    fs.mkdirs(progressDir)
+
+    val grouped = df.withColumn("grp", pmod(col("bucket"), lit(groups)))
+
+    (0 until groups).foreach { g =>
+      val marker = new Path(progressDir, s"group-$g.done")
+      if (!fs.exists(marker)) {
+        val slice = grouped.filter(col("grp") === g)
+        val t0 = System.nanoTime()
+        // grp/bucket as real partition dirs: a consistent two-level
+        // layout for partition discovery AND bucket-level pruning.
+        // Dynamic overwrite clears ONLY this group's partitions — a
+        // group job that died mid-write is cleanly replaced on resume,
+        // never duplicated.
+        slice.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("grp", "bucket").parquet(dataDir.toString)
+        val elapsedMs = (System.nanoTime() - t0) / 1000000
+        // lineage: one row per logical bucket (never per salted split —
+        // SURVEY.md §7.7), written alongside the group's data
+        slice.groupBy(col("bucket"))
+          .agg(
+            count(lit(1)).as("rows"),
+            sum(when(col("error").isNotNull, 1L).otherwise(0L)).as("error_rows"),
+            sum(length(coalesce(col("text"), lit("")))).as("text_chars"))
+          .withColumn("grp", lit(g))
+          .withColumn("elapsed_ms", lit(elapsedMs))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("grp").parquet(lineageDir)
+        val out = fs.create(marker, true)
+        out.write(s"group $g done".getBytes("UTF-8")); out.close()
+      }
+      if (g == abortAfterGroup) // test hook: simulated executor/driver loss
+        throw new IllegalStateException(s"simulated crash after group $g")
+    }
+
+    // collect the full file list (manifest) and flip the snapshot
+    val files = listParquet(dataDir)
+    val rows = spark.read.parquet(lineageDir).agg(sum("rows")).collect()(0).getLong(0)
+    val parent = currentSnapshotId.getOrElse(-1L)
+    val next = parent + 1
+    val json = renderSnapshot(Snapshot(next, parent, commitId, files, rows, lineageDir))
+    fs.mkdirs(metaDir)
+    val tmp = new Path(metaDir, s".snap-$next.json.tmp")
+    val o = fs.create(tmp, true); o.write(json.getBytes("UTF-8")); o.close()
+    if (!fs.rename(tmp, snapPath(next)))
+      throw new IllegalStateException(s"concurrent commit detected for snap-$next")
+    val h = fs.create(hintPath, true); h.write(next.toString.getBytes("UTF-8")); h.close()
+    next
+  }
+
+  /** Completed resume groups for a commit (test/ops introspection). */
+  def completedGroups(commitId: String): Set[Int] = {
+    val p = new Path(metaDir, s"progress/$commitId")
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .collect { case s if s.startsWith("group-") && s.endsWith(".done") =>
+        s.stripPrefix("group-").stripSuffix(".done").toInt
+      }.toSet
+  }
+
+  private def listParquet(dir: Path): Seq[DataFileEntry] = {
+    val out = ArrayBuffer.empty[DataFileEntry]
+    if (!fs.exists(dir)) return out.toSeq
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet"))
+        out += DataFileEntry(f.getPath.toString, f.getLen)
+    }
+    out.sortBy(_.path).toSeq
+  }
+
+  // ---- tiny dependency-free JSON (driver-side metadata only) ----------
+
+  private def q(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def renderSnapshot(s: Snapshot): String = {
+    val files = s.files.map(f => s"""{"path":${q(f.path)},"bytes":${f.bytes}}""")
+      .mkString("[", ",", "]")
+    s"""{"snapshot_id":${s.id},"parent_id":${s.parentId},"commit_id":${q(s.commitId)},
+       |"rows":${s.rows},"lineage":${q(s.lineagePath)},"files":$files}""".stripMargin
+  }
+
+  private def parseSnapshot(txt: String): Snapshot = {
+    // purpose-built parser for renderSnapshot's fixed shape
+    def longField(k: String): Long = {
+      val m = (s""""$k":(-?\\d+)""").r.findFirstMatchIn(txt)
+        .getOrElse(throw new IllegalStateException(s"bad snapshot json: $k"))
+      m.group(1).toLong
+    }
+    def strField(k: String): String = {
+      val m = (s""""$k":"((?:[^"\\\\]|\\\\.)*)"""").r.findFirstMatchIn(txt)
+        .getOrElse(throw new IllegalStateException(s"bad snapshot json: $k"))
+      m.group(1).replace("\\\"", "\"").replace("\\\\", "\\")
+    }
+    val files = ("""\{"path":"((?:[^"\\]|\\.)*)","bytes":(\d+)\}""").r
+      .findAllMatchIn(txt)
+      .map(m => DataFileEntry(m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"), m.group(2).toLong))
+      .toSeq
+    Snapshot(longField("snapshot_id"), longField("parent_id"),
+      strField("commit_id"), files, longField("rows"), strField("lineage"))
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.ExtractJob
+import graft.tables.IceTable
+
+/** Snapshot/commit/lineage/resume semantics (SURVEY.md §7.2, north
+  * rule: resumable from checkpoint, per-partition lineage+metrics). */
+class IceTableSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local(8, "graft-ice-test")
+
+  private def tmpRoot(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"icetable-$tag").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  val N = 600L
+
+  test("commit → read back: full row set, snapshot metadata, lineage") {
+    val root = tmpRoot("basic")
+    val res = ExtractJob.run(spark, root, N, buckets = 16, groups = 4, commitId = "c0")
+    assert(res.snapshotId == 0L && res.docs == N)
+    val table = new IceTable(root, spark)
+    val df = table.read()
+    assert(df.count() == N)
+    assert(df.columns.toSet == Set("url", "text", "spans", "lang", "error", "bucket"))
+    val lin = table.lineage().collect()
+    assert(lin.map(_.getAs[Long]("rows")).sum == N)
+    assert(lin.length <= 16 && lin.length > 0) // one row per logical bucket
+    val snap = table.readSnapshot(0L)
+    assert(snap.files.nonEmpty && snap.rows == N)
+  }
+
+  test("crash after k groups → rerun completes only remaining groups; table identical") {
+    val rootA = tmpRoot("resume")
+    val rootB = tmpRoot("clean")
+    // simulated loss after group 1 of 4
+    intercept[IllegalStateException] {
+      ExtractJob.run(spark, rootA, N, buckets = 16, groups = 4,
+        commitId = "c0", abortAfterGroup = 1)
+    }
+    val table = new IceTable(rootA, spark)
+    assert(table.completedGroups("c0") == Set(0, 1))
+    assert(table.currentSnapshotId.isEmpty, "no snapshot may be visible pre-finalize")
+    // resume with the same commitId
+    val res = ExtractJob.run(spark, rootA, N, buckets = 16, groups = 4, commitId = "c0")
+    assert(res.docs == N)
+    // byte-identical to a never-crashed run
+    val clean = ExtractJob.run(spark, rootB, N, buckets = 16, groups = 4, commitId = "c0")
+    assert(clean.docs == N)
+    val a = table.read().select("url", "text", "error").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    val b = new IceTable(rootB, spark).read().select("url", "text", "error").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    assert(a.sameElements(b))
+  }
+
+  test("second commit becomes a new snapshot; time travel reads the old one") {
+    val root = tmpRoot("timetravel")
+    ExtractJob.run(spark, root, 200L, buckets = 8, groups = 2, commitId = "c0")
+    val table = new IceTable(root, spark)
+    ExtractJob.run(spark, root, 400L, buckets = 8, groups = 2, commitId = "c1")
+    assert(table.snapshots == Seq(0L, 1L))
+    assert(table.read(Some(0L)).count() == 200L)
+    assert(table.read(Some(1L)).count() == 400L)
+    assert(table.read().count() == 400L)
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, Multimodal, OpsQueries, Similarity}
+
+/** Training-data ops without a SQL oracle: verified against brute-force
+  * / planted ground truth here instead (SURVEY.md §5.2 item 5). */
+class OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local(8, "graft-ops-test")
+  val sf = "/root/testdata/sf0.001"
+
+  private def docsWithNearDups = {
+    val d = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    d.unionAll(d.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" zz qq xx")).as("text")))
+  }
+
+  test("minhash LSH finds every planted near-dup pair (vs exact jaccard)") {
+    val exact = Dedup.ngramJaccardPairs(docsWithNearDups, "doc_id", "text", 0.6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 5 === 0).select("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(0) + 100000)).toSet
+    assert(planted.subsetOf(exact), "exact jaccard must find all planted copies")
+    val lsh = Dedup.minhashPairs(docsWithNearDups, "doc_id", "text", 64, 16, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = planted.count(lsh.contains).toDouble / planted.size
+    assert(recall >= 0.95, s"minhash recall $recall over ${planted.size} planted pairs")
+    // est jaccard within 0.2 of exact for planted pairs
+    val est = Dedup.minhashPairs(docsWithNearDups, "doc_id", "text", 64, 16, 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    planted.filter(est.contains).foreach { p =>
+      assert(est(p) > 0.6, s"planted pair $p est=${est(p)}")
+    }
+  }
+
+  test("simhash: planted near-dups land within hamming 3 (long docs)") {
+    val pairs = Dedup.simhashPairs(docsWithNearDups, "doc_id", "text",
+        maxHamming = 7, chunks = 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a 3-token edit is a LARGE relative change for a 10-word doc —
+    // simhash's contract is token-weight stability, meaningful on
+    // substantial documents; score recall where the op should hold.
+    val planted = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 5 === 0 && col("n_chars") >= 250).select("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(0) + 100000)).toSet
+    assert(planted.nonEmpty)
+    val recall = planted.count(pairs.contains).toDouble / planted.size
+    assert(recall >= 0.9, s"simhash recall $recall over ${planted.size} long-doc pairs (hamming<=7)")
+  }
+
+  test("ANN LSH: finds the true near neighbor of perturbed queries") {
+    // The ANN contract: retrieve GENUINELY similar vectors. Uniform
+    // random data has no similar pairs (max cosine ≈0.5 — measured),
+    // so queries are perturbed corpus vectors: cosine(q, orig) ≈0.999,
+    // the realistic embedding-near-dup retrieval case.
+    import spark.implicits._
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet")
+    val base = corpus.filter(col("vec_id") < 20)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val queries = base.map { case (id, v) =>
+      val r = new java.util.Random(id * 7919L)
+      (id + 10000L, v.map(x => x + (r.nextFloat() - 0.5f) * 0.02f))
+    }.toSeq.toDF("vec_id", "embedding")
+    def hits(df: org.apache.spark.sql.DataFrame): Double = {
+      val top1 = df.filter(col("rank") === 1)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      base.count { case (id, _) => top1.get(id + 10000L).contains(id) }.toDouble / base.length
+    }
+    val bf = hits(Similarity.bruteForceTopK(corpus, queries, 10))
+    assert(bf == 1.0, s"brute force must always find the perturbed original (got $bf)")
+    val ann = hits(Similarity.lshTopK(corpus, queries, 10, planes = 8))
+    assert(ann >= 0.8, s"ANN top-1 recall $ann (multi-probe, 8 planes)")
+  }
+
+  test("langid heuristic recovers planted page languages") {
+    val out = OpsQueries.all("t1_langid")(spark, sf).collect()
+    val acc = out.count(r => r.getString(1) == r.getString(2)).toDouble / out.length
+    assert(acc >= 0.95, s"langid accuracy $acc on ${out.length} pages")
+  }
+
+  test("fingerprint: deterministic, edit-robust, discriminative") {
+    GraftSession.register(spark)
+    val df = spark.sql(
+      """SELECT graft_fingerprint('the quick brown fox jumps over the lazy dog repeatedly') AS a,
+        |       graft_fingerprint('the quick brown fox jumps over the lazy dog repeatedly') AS b,
+        |       graft_fingerprint('completely different content with other words entirely here') AS c
+        |""".stripMargin).collect()(0)
+    val a = df.getSeq[Long](0); val b = df.getSeq[Long](1); val c = df.getSeq[Long](2)
+    assert(a == b, "identical text → identical fingerprint")
+    assert(a.toSet.intersect(c.toSet).isEmpty, "unrelated text → disjoint fingerprints")
+  }
+
+  test("multimodal: stub decode plumbing — schema, batching, frame sampling") {
+    val feats = Multimodal.features(Multimodal.gen(spark, 300))
+    val rows = feats.collect()
+    assert(rows.length == 300)
+    assert(rows.forall(_.decode_error == null))
+    assert(rows.forall(r => r.width >= 16 && r.height >= 16 && r.feature.length == 8))
+    val frames = Multimodal.frameSample(feats.toDF(), 24).collect()
+    assert(frames.nonEmpty)
+    val videos = rows.filter(_.kind == "video")
+    val expected = videos.map(v => (v.n_frames + 23) / 24).sum
+    assert(frames.length == expected, s"frame count ${frames.length} vs $expected")
+    // corrupted payload → error row, not task failure
+    import spark.implicits._
+    val bad = Multimodal.features(Seq(
+      Multimodal.MediaRow(99L, "image", Array[Byte](1, 2, 3))).toDS()).collect()
+    assert(bad.head.decode_error != null)
+  }
+}
