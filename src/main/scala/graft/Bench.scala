@@ -1,24 +1,85 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{ExtractJob, ExtractPipeline}
+
+/** Benchmark main — one JSON line on stdout.
+  *
+  * Env knobs: SPARK_GRAFT_SF_DIR (testdata dir), SPARK_GRAFT_CPUS
+  * (local[N] parallelism — the sandbox stand-in for executor count:
+  * run at 8 and 32 for the N vs 4N scaling pair, BASELINE.md),
+  * SPARK_GRAFT_BENCH_DOCS (extraction corpus size, default 60000).
+  *
+  * Headline metric (BASELINE.json): documents/sec extraction
+  * throughput — measured on the synthesized Common-Crawl-style table,
+  * extract-only (`x_extract`) and full pipeline with bucketed IceTable
+  * commit (`x_commit`). All SparkEntry queries run too (driver reads
+  * the per-query seconds).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "120000").toLong
+    val spark = GraftSession.local(cpus, "graft-bench")
+
+    def timed[A](f: => A): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      f
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // stage the pages table once (parquet = the Iceberg-table stand-in;
+    // generation cost excluded from the measured extraction metric)
+    val stage = s"/tmp/graft-bench-pages-$nDocs"
+    if (!new java.io.File(stage, "_SUCCESS").exists()) {
+      ExtractPipeline.pages(spark, nDocs).toDF()
+        .write.mode("overwrite").parquet(stage)
+    }
+
+    def extractRun(in: org.apache.spark.sql.DataFrame): Unit = {
+      ExtractPipeline.extracted(in)
+        .agg(sum(length(coalesce(col("text"), lit("")))),
+          sum(when(col("error").isNotNull, 1L).otherwise(0L))).collect()
+      ()
+    }
+
+    // warmup: JIT + codegen for the whole scan→extract path
+    extractRun(spark.read.parquet(stage).limit(20000))
+
+    // extraction throughput: median of 3 (this host shows bursty CPU
+    // steal — medians keep round-over-round numbers comparable)
+    val reps = (1 to 3).map(_ => timed(extractRun(spark.read.parquet(stage))))
+    val tExtract = reps.sorted.apply(1)
+
+    // full pipeline: extract + bucket/salt + IceTable commit w/ lineage
+    val benchRoot = java.nio.file.Files.createTempDirectory("graft-bench-table").toString
+    val tCommit = timed {
+      ExtractJob.run(spark, benchRoot, nDocs, buckets = 32,
+        groups = 4, commitId = s"bench-$cpus")
+    }
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double](
+      "x_extract" -> tExtract,
+      "x_commit" -> tCommit)
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      results(name) = timed {
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L
+        }
+      }
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.sum
+    val docsPerSec = nDocs / tExtract
+    val commitDocsPerSec = nDocs / tCommit
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"bench_docs":$nDocs,"extract_docs_per_sec":$docsPerSec%.1f,"commit_docs_per_sec":$commitDocsPerSec%.1f}""")
     spark.stop()
   }
 }

@@ -51,8 +51,17 @@ object Extractor {
     b.length >= 4 && b(0) == '%' && b(1) == 'P' && b(2) == 'D' && b(3) == 'F'
 
   /** Strict UTF-8 decode — malformed bytes are a detectable error, not
-    * mojibake (byte-identity discipline, SURVEY.md §7.7). */
+    * mojibake (byte-identity discipline, SURVEY.md §7.7).
+    *
+    * Fast path: `new String(bytes, UTF_8)` (intrinsified, one copy),
+    * which substitutes U+FFFD on malformed input — so a U+FFFD in the
+    * result (genuinely rare in valid documents) routes to the strict
+    * CharsetDecoder to distinguish "malformed payload" from "document
+    * that really contains U+FFFD". Identical classification to the
+    * always-strict decoder at a fraction of the allocation. */
   def decodeUtf8(b: Array[Byte]): Option[String] = {
+    val fast = new String(b, StandardCharsets.UTF_8)
+    if (fast.indexOf('\uFFFD') < 0) return Some(fast)
     val dec = StandardCharsets.UTF_8.newDecoder()
       .onMalformedInput(CodingErrorAction.REPORT)
       .onUnmappableCharacter(CodingErrorAction.REPORT)
@@ -61,8 +70,10 @@ object Extractor {
   }
 
   def extractHtml(html: String): ExtractResult = {
-    val toks = HtmlTokenizer.tokenize(html)
-    val blocks = BlockSegmenter.segment(toks)
+    // fused single-pass segmentation (hot path); semantically identical
+    // to BlockSegmenter.segment(HtmlTokenizer.tokenize(html)) — see
+    // FusedEquivalenceSpec + frozen golden digest
+    val blocks = graft.html.FusedSegmenter.segment(html)
     val kept = Boilerplate.classify(blocks)
     val (text, spans) = Assemble.fromBlocks(kept)
     ExtractResult(text, spans, null)

@@ -37,49 +37,61 @@ object Boilerplate {
   val HistBins = 64
 
   /** Keep decision over a whole document's blocks (all parts jointly).
-    * Returns kept blocks in original order. */
+    * Returns kept blocks in original order. Index-based single-pass
+    * implementation (hot loop: no intermediate collections). */
   def classify(blocks: IndexedSeq[Block]): IndexedSeq[Block] = {
+    val n = blocks.length
     // Stage 1 — hard rules (ROI analogue): structural boilerplate
     // containers and link-dense blocks are never content.
-    val candidates = blocks.filter(b => !b.boiler && b.words > 0 && !linkDense(b))
-
-    // Stage 2 — Otsu threshold over body-block word counts.
-    val body = candidates.filter(_.kind != "heading")
+    // Stage 2 — Otsu threshold over candidate body-block word counts.
     val hist = new Array[Long](HistBins)
-    body.foreach(b => hist(math.min(b.words, HistBins - 1)) += 1)
+    var i = 0
+    while (i < n) {
+      val b = blocks(i)
+      if (!b.boiler && b.words > 0 && !linkDense(b) && b.kind != "heading")
+        hist(math.min(b.words, HistBins - 1)) += 1
+      i += 1
+    }
     val threshold = otsu(hist) match {
       case Some(t) => math.min(MaxAutoThreshold, math.max(MinContentWords, t))
       case None    => MinContentWords
     }
 
-    val keptBody = new java.util.IdentityHashMap[Block, Boolean]()
-    body.foreach(b => if (b.words >= threshold) keptBody.put(b, true))
+    @inline def candidate(b: Block): Boolean =
+      !b.boiler && b.words > 0 && !linkDense(b)
+    @inline def keptBody(b: Block): Boolean =
+      candidate(b) && b.kind != "heading" && b.words >= threshold
 
     // Stage 3 — region rule for headings: a heading survives iff a kept
     // body block follows it within the same part before the next
     // heading (mirrors the reference's region-bounded psm-6 block
     // model, main_window.py:355-368).
-    val keep = new Array[Boolean](blocks.length)
-    var i = 0
-    while (i < blocks.length) {
+    val keep = new Array[Boolean](n)
+    var kept = 0
+    i = 0
+    while (i < n) {
       val b = blocks(i)
-      if (keptBody.containsKey(b)) keep(i) = true
-      else if (b.kind == "heading" && !b.boiler && b.words > 0 && !linkDense(b)) {
+      if (keptBody(b)) { keep(i) = true; kept += 1 }
+      else if (b.kind == "heading" && candidate(b)) {
         var j = i + 1
         var found = false
         var stop = false
-        while (j < blocks.length && !stop && !found) {
+        while (j < n && !stop && !found) {
           val nb = blocks(j)
           if (nb.part != b.part) stop = true
           else if (nb.kind == "heading") stop = true
-          else if (keptBody.containsKey(nb)) found = true
+          else if (keptBody(nb)) found = true
           j += 1
         }
-        keep(i) = found
+        if (found) { keep(i) = true; kept += 1 }
       }
       i += 1
     }
-    blocks.indices.collect { case i if keep(i) => blocks(i) }
+    val out = new Array[Block](kept)
+    var k = 0
+    i = 0
+    while (i < n) { if (keep(i)) { out(k) = blocks(i); k += 1 }; i += 1 }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
   }
 
   /** Otsu's threshold over an integer histogram, exact integer math.

@@ -1,0 +1,257 @@
+package graft.html
+
+import scala.collection.mutable.ArrayBuffer
+
+import BlockSegmenter.{Block, isWs}
+
+/** Fused tokenizer+segmenter: one pass over the decoded HTML string,
+  * zero intermediate token objects, text appended straight into the
+  * current block's buffer with entities decoded inline.
+  *
+  * Semantically identical to
+  * `BlockSegmenter.segment(HtmlTokenizer.tokenize(s))` — asserted by
+  * `FusedEquivalenceSpec` over generated corpora and by the frozen
+  * golden digest. Exists because the extraction hot loop is
+  * allocation-bound at high core counts (SURVEY.md §4.2: "hot loop
+  * must avoid overhead"); the unfused pair remains the readable
+  * reference implementation.
+  */
+object FusedSegmenter {
+
+  // tag ids for the tags the segmenter reacts to
+  private final val T_OTHER = 0      // inline/unknown: no effect
+  private final val T_BLOCK = 1      // block boundary only
+  private final val T_HEADING = 2
+  private final val T_LI = 3
+  private final val T_A = 4
+  private final val T_BOILER = 5     // nav/header/footer/aside
+  private final val T_DROP = 6       // title/head
+  private final val T_ARTICLE = 7
+  private final val T_RAWTEXT = 8    // script/style
+
+  /** Classify a lowercase tag name located at s[from,until) without
+    * allocating. Mirrors BlockSegmenter's tag sets exactly. */
+  private def tagId(s: String, from: Int, until: Int): Int = {
+    val len = until - from
+    @inline def is(t: String): Boolean = {
+      if (t.length != len) return false
+      var i = 0
+      while (i < len) {
+        if (Character.toLowerCase(s.charAt(from + i)) != t.charAt(i)) return false
+        i += 1
+      }
+      true
+    }
+    val c0 = Character.toLowerCase(s.charAt(from))
+    c0 match {
+      case 'a' =>
+        if (len == 1) T_A
+        else if (is("article")) T_ARTICLE
+        else if (is("aside")) T_BOILER
+        else T_OTHER
+      case 'b' =>
+        if (is("br") || is("blockquote") || is("body")) T_BLOCK else T_OTHER
+      case 'd' => if (is("div") || is("dl") || is("dt") || is("dd")) T_BLOCK else T_OTHER
+      case 'f' =>
+        if (is("footer")) T_BOILER
+        else if (is("figure") || is("figcaption") || is("form") || is("fieldset")) T_BLOCK
+        else T_OTHER
+      case 'h' =>
+        if (len == 2 && s.charAt(from + 1) >= '1' && s.charAt(from + 1) <= '6') T_HEADING
+        else if (is("header")) T_BOILER
+        else if (is("head")) T_DROP
+        else if (is("hr") || is("html")) T_BLOCK
+        else T_OTHER
+      case 'l' => if (is("li")) T_LI else T_OTHER
+      case 'm' => if (is("main")) T_BLOCK else T_OTHER
+      case 'n' => if (is("nav")) T_BOILER else T_OTHER
+      case 'o' => if (is("ol")) T_BLOCK else T_OTHER
+      case 'p' => if (len == 1 || is("pre")) T_BLOCK else T_OTHER
+      case 's' =>
+        if (is("script") || is("style")) T_RAWTEXT
+        else if (is("section")) T_BLOCK
+        else T_OTHER
+      case 't' =>
+        if (is("title")) T_DROP
+        else if (is("table") || is("thead") || is("tbody") || is("tfoot") ||
+          is("tr") || is("td") || is("th")) T_BLOCK
+        else T_OTHER
+      case 'u' => if (is("ul")) T_BLOCK else T_OTHER
+      case _   => T_OTHER
+    }
+  }
+
+  /** Is this tag id a block-boundary tag (flushes the pending block)?
+    * (All reactive ids except a/rawtext/other are block tags.) */
+  @inline private def isBlockBoundary(id: Int): Boolean =
+    id == T_BLOCK || id == T_HEADING || id == T_LI || id == T_BOILER ||
+      id == T_DROP || id == T_ARTICLE
+
+  def segment(html: String): IndexedSeq[Block] = {
+    val out = new ArrayBuffer[Block](32)
+    val n = html.length
+
+    // segmentation state (mirrors BlockSegmenter.segment)
+    var part = 1
+    var seenArticle = false
+    var boilerDepth = 0
+    var dropDepth = 0
+    var aDepth = 0
+    var headingDepth = 0
+    var liDepth = 0
+    // block accumulation: normalized text built directly (the unfused
+    // path normalizes at flush; direct normalization is equivalent
+    // because normalize() is a streaming fold)
+    val norm = new java.lang.StringBuilder(256)
+    var pendingSpace = false
+    var words = 0
+    var linkWords = 0
+    var inWord = false
+    var blockBoiler = false
+
+    def flush(): Unit = {
+      if (norm.length > 0) {
+        val kind =
+          if (headingDepth > 0) "heading"
+          else if (liDepth > 0) "list"
+          else "content"
+        out += Block(part, kind, norm.toString, words, linkWords, blockBoiler)
+      }
+      norm.setLength(0); pendingSpace = false
+      words = 0; linkWords = 0; inWord = false
+      blockBoiler = boilerDepth > 0
+    }
+
+    // append one decoded character of text content
+    @inline def emitChar(c: Char): Unit = {
+      if (isWs(c)) {
+        if (norm.length > 0) pendingSpace = true
+        inWord = false
+      } else {
+        if (pendingSpace) { norm.append(' '); pendingSpace = false }
+        norm.append(c)
+        if (!inWord) {
+          inWord = true
+          words += 1
+          if (aDepth > 0) linkWords += 1
+          if (boilerDepth > 0) blockBoiler = true
+        }
+      }
+    }
+    @inline def emitString(t: String): Unit = {
+      var k = 0
+      while (k < t.length) { emitChar(t.charAt(k)); k += 1 }
+    }
+
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '&') {
+        if (dropDepth == 0) {
+          val (rep, next) = HtmlTokenizer.decodeEntityAtPublic(html, i)
+          emitString(rep); i = next
+        } else {
+          val (_, next) = HtmlTokenizer.decodeEntityAtPublic(html, i)
+          i = next
+        }
+      } else if (c != '<') {
+        if (dropDepth == 0) emitChar(c)
+        i += 1
+      } else if (i + 1 >= n) {
+        if (dropDepth == 0) emitChar(c)
+        i += 1
+      } else {
+        val c1 = html.charAt(i + 1)
+        // any tag/comment construct ends the current text run — word
+        // counting is per-run in the unfused reference implementation
+        // (adjacent runs never merge into one word)
+        if (c1 == '!' || c1 == '?' || c1 == '/' || isNameStart(c1)) inWord = false
+        if (c1 == '!' || c1 == '?') {
+          if (html.startsWith("<!--", i)) {
+            val end = html.indexOf("-->", i + 4)
+            i = if (end < 0) n else end + 3
+          } else {
+            val end = html.indexOf('>', i + 2)
+            i = if (end < 0) n else end + 1
+          }
+        } else if (c1 == '/') {
+          var j = i + 2
+          val ns = j
+          while (j < n && isNameChar(html.charAt(j))) j += 1
+          val ne = j
+          val end = html.indexOf('>', j)
+          i = if (end < 0) n else end + 1
+          if (ne > ns) {
+            val id = tagId(html, ns, ne)
+            if (isBlockBoundary(id)) flush()
+            id match {
+              case T_A => if (aDepth > 0) aDepth -= 1
+              case T_BOILER =>
+                if (boilerDepth > 0) {
+                  boilerDepth -= 1
+                  if (boilerDepth == 0) blockBoiler = false
+                }
+              case T_DROP => if (dropDepth > 0) dropDepth -= 1
+              case T_HEADING => if (headingDepth > 0) headingDepth -= 1
+              case T_LI => if (liDepth > 0) liDepth -= 1
+              case _ => ()
+            }
+          }
+        } else if (isNameStart(c1)) {
+          var j = i + 1
+          val ns = j
+          while (j < n && isNameChar(html.charAt(j))) j += 1
+          val ne = j
+          // skip attrs honoring quotes
+          var selfClose = false
+          var done = false
+          while (j < n && !done) {
+            val a = html.charAt(j)
+            if (a == '"' || a == '\'') {
+              val q = html.indexOf(a, j + 1)
+              j = if (q < 0) n else q + 1
+            } else if (a == '>') {
+              selfClose = j > 0 && html.charAt(j - 1) == '/'
+              j += 1; done = true
+            } else j += 1
+          }
+          i = j
+          val id = tagId(html, ns, ne)
+          if (isBlockBoundary(id)) flush()
+          if (!selfClose) {
+            id match {
+              case T_A => aDepth += 1
+              case T_BOILER => boilerDepth += 1; blockBoiler = true
+              case T_DROP => dropDepth += 1
+              case T_HEADING => headingDepth += 1
+              case T_LI => liDepth += 1
+              case T_ARTICLE =>
+                if (seenArticle) part += 1
+                seenArticle = true
+              case T_RAWTEXT =>
+                // raw-text element: skip to matching close tag
+                val name = html.substring(ns, ne).toLowerCase
+                val closeAt = HtmlTokenizer.indexOfCloseTagPublic(html, i, name)
+                if (closeAt < 0) i = n
+                else {
+                  val end2 = html.indexOf('>', closeAt)
+                  i = if (end2 < 0) n else end2 + 1
+                }
+              case _ => ()
+            }
+          }
+        } else {
+          if (dropDepth == 0) emitChar(c)
+          i += 1
+        }
+      }
+    }
+    flush()
+    out.toIndexedSeq
+  }
+
+  @inline private def isNameStart(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+  @inline private def isNameChar(c: Char): Boolean =
+    isNameStart(c) || (c >= '0' && c <= '9') || c == '-' || c == ':'
+}

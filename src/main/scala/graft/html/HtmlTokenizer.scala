@@ -121,6 +121,11 @@ object HtmlTokenizer {
   private def isNameChar(c: Char): Boolean =
     isNameStart(c) || (c >= '0' && c <= '9') || c == '-' || c == ':'
 
+  /** Shared with FusedSegmenter (same semantics, fused hot path). */
+  def decodeEntityAtPublic(html: String, i: Int): (String, Int) = decodeEntityAt(html, i)
+  def indexOfCloseTagPublic(html: String, from: Int, name: String): Int =
+    indexOfCloseTag(html, from, name)
+
   /** Case-insensitive search for "</name" followed by '>' or whitespace. */
   private def indexOfCloseTag(html: String, from: Int, name: String): Int = {
     val needle = "</" + name

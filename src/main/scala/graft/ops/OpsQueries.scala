@@ -126,12 +126,19 @@ object OpsQueries {
           .as("bpeish_tokens"))
         .orderBy("doc_id")
     }),
-    // winnowing fingerprints: shared-fingerprint containment pairs
+    // winnowing fingerprints: shared-fingerprint containment pairs.
+    // Stop-fingerprint removal (df > 50) is part of the operator: a
+    // fingerprint present in half the corpus carries no containment
+    // signal but quadratic join cost — standard winnowing practice,
+    // and the only viable shape at 10^12 docs.
     "t4_fingerprint" -> ((s, dir) => {
       GraftSession.register(s)
       val fp = docsWithNearDups(s, dir).select(col("doc_id"),
         explode(call_function("graft_fingerprint", col("text"))).as("fp"))
-      fp.as("a").join(fp.as("b"),
+      val rare = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 50).select("fp")
+      val fpr = fp.join(broadcast(rare), Seq("fp"))
+      fpr.as("a").join(fpr.as("b"),
           col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
         .agg(count(lit(1)).as("shared_fp"))

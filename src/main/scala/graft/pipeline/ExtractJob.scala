@@ -37,8 +37,19 @@ object ExtractJob {
       // spread over `salts` tasks instead of hot-spotting one
       .repartition(col("bucket"), col("salt"))
       .drop("salt")
+    // With >1 resume group, each group is its own Spark job over the
+    // shared upstream — persist the extracted rows (spill-friendly) so
+    // extraction runs once, not `groups` times. On a real cluster with
+    // a bucketed source table the group filter prunes the SCAN instead
+    // and no persist is needed; groups=1 is the pure single-pass path
+    // (Spark task retry already covers executor loss within a job).
+    val staged =
+      if (groups > 1) out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      else out
     val table = new IceTable(root, spark)
-    val snap = table.commit(out, commitId, groups, abortAfterGroup)
+    val snap =
+      try table.commit(staged, commitId, groups, abortAfterGroup)
+      finally { if (groups > 1) staged.unpersist() }
     val lin = table.lineage(Some(snap))
       .agg(sum("rows").as("rows"), sum("error_rows").as("errs")).collect()(0)
     Result(snap, lin.getLong(0), lin.getLong(1))
