@@ -29,6 +29,8 @@ object GraftSession {
       "graft_langid", exprs => LangId(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction(
       "graft_lsh_bucket", exprs => LshBucket(exprs.head, exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_explode_blocks", exprs => graft.expr.ExplodeBlocks(exprs.head), "scala_udf")
     spark
   }
 

@@ -46,6 +46,27 @@ object Queries {
         .select(col("url"), col("error"))
         .orderBy("url")
     }),
+    // A1 as a relational primitive: ExplodeBlocks generator (UDTF
+    // analogue) → page-ordered groupBy reassembly (array_sort +
+    // array_join — SURVEY §2.4 A1); equality with graft_extract's
+    // in-expression assembly is asserted in SparkExtractionSpec
+    "x5_block_assembly" -> ((s, _) => {
+      GraftSession.register(s)
+      val pages = ExtractPipeline.pages(s, 500).toDF()
+      val blocks = pages
+        .select(col("url"), expr("graft_explode_blocks(html)")) // generator: yields block columns
+        .filter(col("kept"))
+      val parts = blocks.groupBy(col("url"), col("part"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("block_idx"), col("text")))),
+          x => x.getField("text")), "\n").as("part_text"))
+        .withColumn("page", format_string("--- صفحة %d ---\n%s", col("part"), col("part_text")))
+      parts.groupBy(col("url"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("part"), col("page")))),
+          x => x.getField("page")), "\n\n").as("text"))
+        .orderBy("url")
+    }),
     // north rule: bucket+salt layout columns
     "x4_extract_bucketed" -> ((s, _) => {
       GraftSession.register(s)
@@ -164,6 +185,67 @@ object Queries {
           format_string("doc-%05d/%s", col("doc_id"), col("lang")).as("tag"))
         .orderBy("doc_id")
     }),
+    // anti-join (NOT EXISTS): customers without recent orders
+    "q13_antijoin" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val recent = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2000-06-01").cast("timestamp"))
+      c.join(recent, c("c_custkey") === recent("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    }),
+    // outer join with null-side aggregation: suppliers per nation incl. 0
+    "q14_outerjoin_agg" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      val su = t(s, dir, "supplier")
+      n.join(su, n("n_nationkey") === su("s_nationkey"), "left_outer")
+        .groupBy(col("n_name"))
+        .agg(sum(when(col("s_suppkey").isNotNull, 1L).otherwise(0L)).as("n_suppliers"))
+        .orderBy("n_name")
+    }),
+    // CUBE grouping sets
+    "q15_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    }),
+    // F14: JSON extraction from the events props column
+    "q16_json" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+        .orderBy("event_id")
+    }),
+    // F13: timestamp formatting (backup snapshot name format)
+    "q17_tsfmt" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyyMMdd_HHmmss").as("snap_name"))
+        .orderBy("o_orderkey")
+    }),
+    // correlated-style aggregate compare: orders above their customer's
+    // average price (decimal-exact: price*n > sum, no division)
+    "q18_above_avg" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val stats = o.groupBy(col("o_custkey").as("custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_price"),
+          count(lit(1)).as("n"))
+      o.join(stats, o("o_custkey") === stats("custkey"))
+        .filter(col("o_totalprice").cast("decimal(18,2)") * col("n") > col("sum_price"))
+        .select(col("o_orderkey"))
+        .orderBy("o_orderkey")
+    }),
+    // array functions over the embedding column (no arithmetic: exact)
+    "q19_array_funcs" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          size(col("embedding")).as("dim"),
+          array_max(col("embedding")).as("vmax"),
+          array_min(col("embedding")).as("vmin"),
+          element_at(col("embedding"), 1).as("first_val"))
+        .orderBy("vec_id")
+    }),
     // P1: conditional dispatch expression (when/otherwise)
     "q12_case_dispatch" -> ((s, dir) => {
       t(s, dir, "events")
@@ -240,6 +322,39 @@ object Queries {
         | LENGTH(TRIM(REGEXP_REPLACE(text, '(?m)^\s*(>>>|\.\.\.)\s?', '', 'g'))) AS clean_len,
         | printf('doc-%05d/%s', doc_id, lang) AS tag
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q13_antijoin" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-06-01')
+        |ORDER BY c_custkey""".stripMargin,
+    "q14_outerjoin_agg" ->
+      """SELECT n_name,
+        | SUM(CASE WHEN s_suppkey IS NOT NULL THEN 1 ELSE 0 END) AS n_suppliers
+        |FROM nation LEFT OUTER JOIN supplier ON n_nationkey = s_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q15_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q16_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q17_tsfmt" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y%m%d_%H%M%S') AS snap_name
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q18_above_avg" ->
+      """SELECT o_orderkey FROM orders o
+        |JOIN (SELECT o_custkey AS custkey,
+        |        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price,
+        |        COUNT(*) AS n
+        |      FROM orders GROUP BY 1) s ON o.o_custkey = s.custkey
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * n > sum_price
+        |ORDER BY o_orderkey""".stripMargin,
+    "q19_array_funcs" ->
+      """SELECT vec_id, len(embedding) AS dim,
+        | list_max(embedding) AS vmax, list_min(embedding) AS vmin,
+        | embedding[1] AS first_val
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q12_case_dispatch" ->
       """SELECT event_id,
         | CASE WHEN event_type = 'click' THEN 'ui'

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+import graft.GraftSession
+import graft.pipeline.ExtractPipeline
+
+/** Structured-Streaming slice (SURVEY.md §2.9).
+  *
+  * The reference is batch; its incremental behaviors map here:
+  * per-page progress (ST1) → micro-batch progress events; hourly
+  * auto-backup (ST3) → checkpointed incremental commits
+  * (`Trigger.ProcessingTime` + `checkpointLocation`); as-completed
+  * result draining (ST5) → unordered micro-batch completion.
+  *
+  * Extraction is stateless per row, so the streaming pipeline is:
+  * append-only pages source → graft_extract → foreachBatch sink —
+  * no state store needed (SURVEY.md §2.9 note).
+  */
+object StreamingExtract {
+
+  /** Streaming extraction over an append-only pages directory.
+    * Each micro-batch appends to `outDir` (parquet) — the foreachBatch
+    * commit discipline that an IceTable-per-batch commit would use. */
+  def run(spark: SparkSession, pagesDir: String, outDir: String,
+          checkpointDir: String): StreamingQuery = {
+    GraftSession.register(spark)
+    val pages = spark.readStream
+      .schema("url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING")
+      .parquet(pagesDir)
+    ExtractPipeline.extracted(pages)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+  }
+
+  /** Watermarked event-time windowed aggregation over the events table
+    * (ST3/ST4 analogue: periodic per-window status rows). */
+  def windowedEventCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+
+  // --- stateful sessionization (flatMapGroupsWithState) -----------------
+
+  final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  final case class SessionState(start: Long, last: Long, n: Int)
+  final case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long, n_events: Int)
+
+  /** Gap-based sessionization: a user's events more than `gapMs` apart
+    * start a new session (KeyValueGroupedDataset.flatMapGroupsWithState
+    * — the custom-state primitive the reference's cancel/progress flags
+    * would need if they were event-driven, SURVEY.md §2.9). */
+  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_type))
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.last <= gapMs =>
+                cur = Some(SessionState(s.start, t, s.n + 1))
+              case Some(s) =>
+                out += SessionOut(user, s.start, s.last, s.n)
+                cur = Some(SessionState(t, t, 1))
+              case None =>
+                cur = Some(SessionState(t, t, 1))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+}

@@ -55,6 +55,35 @@ class SparkExtractionSpec extends AnyFunSuite {
     assert(hotRows.map(_.getInt(2)).distinct.length > 1, "hot host must spread over salts")
   }
 
+  test("ExplodeBlocks + relational reassembly == in-expression assembly") {
+    GraftSession.register(spark)
+    val reassembled = SparkEntry.queries("x5_block_assembly")(spark, "")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    val direct = ExtractPipeline.extracted(ExtractPipeline.pages(spark, 500).toDF())
+      .filter(col("error").isNull && length(col("text")) > 0)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    // ExplodeBlocks covers HTML payloads; PDFs take the graft_extract path
+    val htmlUrls = (0L until 500L)
+      .filter(id => graft.gen.PageGen.kindOf(id) == graft.gen.PageGen.Html)
+      .map(id => graft.gen.PageGen.urlOf(id))
+    htmlUrls.foreach { u =>
+      assert(reassembled.get(u) == direct.get(u), s"url=$u")
+    }
+  }
+
+  test("IceTable read prunes partitions on the bucket filter") {
+    val root = java.nio.file.Files.createTempDirectory("icetable-prune").toString
+    graft.pipeline.ExtractJob.run(spark, root, 500L, buckets = 16, groups = 2)
+    val table = new graft.tables.IceTable(root, spark)
+    val plan = table.read().filter(col("bucket") === 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(bucket"),
+      s"bucket filter must prune partitions:\n$plan")
+    val full = table.read().count()
+    val one = table.read().filter(col("bucket") === 3).count()
+    assert(one > 0 && one < full)
+  }
+
   test("extraction expression is usable from plain SQL too") {
     GraftSession.register(spark)
     ExtractPipeline.pages(spark, 5).toDF().createOrReplaceTempView("pages_sql")

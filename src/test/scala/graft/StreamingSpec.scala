@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.ExtractPipeline
+import graft.streaming.StreamingExtract
+
+/** Structured-Streaming slice: incremental extraction equals the batch
+  * result byte-for-byte; windowed/stateful ops behave. */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local(8, "graft-streaming-test")
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"stream-$tag").toString
+
+  test("streaming extraction == batch extraction (incremental arrival)") {
+    import spark.implicits._
+    val src = tmp("src"); val out = tmp("out"); val ckpt = tmp("ckpt")
+    // first file lands before the query starts
+    ExtractPipeline.pages(spark, 300).toDF()
+      .write.mode("append").parquet(src)
+    val q = StreamingExtract.run(spark, src, out, ckpt)
+    q.processAllAvailable()
+    // late-arriving second file (ids 300..499), picked up incrementally
+    spark.range(300L, 500L, 1L, 4)
+      .mapPartitions(_.map(id => graft.gen.PageGen.row(id.longValue()))).toDF()
+      .write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.read.parquet(out)
+      .select("url", "text", "error").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    val batch = ExtractPipeline.extracted(ExtractPipeline.pages(spark, 500).toDF())
+      .select("url", "text", "error").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    assert(streamed.length == 500)
+    assert(streamed.sameElements(batch))
+  }
+
+  test("watermarked windowed aggregation over streamed events") {
+    val src = tmp("ev")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .write.mode("append").parquet(src)
+    val events = spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .parquet(src)
+    val q = StreamingExtract.windowedEventCounts(events)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("winagg")
+      .start()
+    q.processAllAvailable(); q.stop()
+    // append mode emits only watermark-closed windows; validate against
+    // the batch computation on the closed subset
+    val got = spark.sql("SELECT event_type, sum(n) AS n FROM winagg GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.values.sum > 0, "some windows must have closed")
+    val batchAll = spark.read.parquet(src)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach { case (k, v) => assert(v <= batchAll(k)) }
+  }
+
+  test("stateful sessionization via flatMapGroupsWithState") {
+    import spark.implicits._
+    val src = tmp("sess")
+    Seq(
+      (1L, 0L, "a"), (1L, 30000L, "b"), (1L, 1000000L, "c"),
+      (2L, 0L, "x")
+    ).map { case (u, t, k) =>
+      StreamingExtract.Event(u, new java.sql.Timestamp(t), k)
+    }.toDS().write.mode("append").parquet(src)
+    val stream = spark.readStream
+      .schema("user_id BIGINT, ts TIMESTAMP, event_type STRING")
+      .parquet(src).as[StreamingExtract.Event]
+    val q = StreamingExtract.sessionize(stream, gapMs = 60000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions")
+      .start()
+    q.processAllAvailable()
+    // a second batch with a gap-crossing event closes user 1's new session
+    Seq(StreamingExtract.Event(1L, new java.sql.Timestamp(5000000L), "d"))
+      .toDS().write.mode("append").parquet(src)
+    q.processAllAvailable(); q.stop()
+    val rows = spark.sql("SELECT * FROM sessions ORDER BY user_id, start_ms").collect()
+    // user 1: session [0,30000] n=2 closed by the 1000000 event; session
+    // [1000000,1000000] n=1 closed by the 5000000 event
+    assert(rows.length == 2, rows.mkString(";"))
+    assert(rows(0).getLong(0) == 1L && rows(0).getLong(1) == 0L &&
+      rows(0).getLong(2) == 30000L && rows(0).getInt(3) == 2)
+    assert(rows(1).getLong(0) == 1L && rows(1).getLong(1) == 1000000L && rows(1).getInt(3) == 1)
+  }
+}
