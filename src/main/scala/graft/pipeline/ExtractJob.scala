@@ -47,11 +47,22 @@ object ExtractJob {
       if (groups > 1) out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       else out
     val table = new IceTable(root, spark)
+    val metrics = new JobMetrics(spark, s"extract-$commitId")
+    metrics.logEvent(root, s"job_start docs=$nDocs buckets=$buckets groups=$groups hot_hosts=${hot.size}")
     val snap =
       try table.commit(staged, commitId, groups, abortAfterGroup)
-      finally { if (groups > 1) staged.unpersist() }
+      catch {
+        case e: Throwable =>
+          metrics.logEvent(root, s"job_failed error=${e.getClass.getSimpleName}")
+          metrics.close()
+          throw e
+      } finally { if (groups > 1) staged.unpersist() }
     val lin = table.lineage(Some(snap))
       .agg(sum("rows").as("rows"), sum("error_rows").as("errs")).collect()(0)
+    metrics.rowsProcessed.add(lin.getLong(0))
+    metrics.errorRows.add(lin.getLong(1))
+    metrics.logEvent(root, s"commit_complete snapshot=$snap")
+    metrics.close()
     Result(snap, lin.getLong(0), lin.getLong(1))
   }
 }

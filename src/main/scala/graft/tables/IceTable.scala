@@ -141,6 +141,14 @@ final class IceTable(val root: String, spark: SparkSession) {
           .agg(
             count(lit(1)).as("rows"),
             sum(when(col("error").isNotNull, 1L).otherwise(0L)).as("error_rows"),
+            // P6 analogue: blank extractions counted at the sink
+            // (main_window.py:784-786 refuses empty saves; we record)
+            sum(when(col("error").isNull && length(coalesce(col("text"), lit(""))) === 0, 1L)
+              .otherwise(0L)).as("empty_rows"),
+            // O4 analogue: >20-part documents warn-counted, not dropped
+            // (main_window.py:342-344)
+            sum(when(size(split(coalesce(col("text"), lit("")), "--- صفحة ", -1)) - 1 > 20, 1L)
+              .otherwise(0L)).as("oversize_docs"),
             sum(length(coalesce(col("text"), lit("")))).as("text_chars"))
           .withColumn("grp", lit(g))
           .withColumn("elapsed_ms", lit(elapsedMs))

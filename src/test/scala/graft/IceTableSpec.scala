@@ -33,6 +33,16 @@ class IceTableSpec extends AnyFunSuite {
     assert(lin.length <= 16 && lin.length > 0) // one row per logical bucket
     val snap = table.readSnapshot(0L)
     assert(snap.files.nonEmpty && snap.rows == N)
+    // lineage guard metrics present (P6/O4 analogues)
+    assert(lin.head.schema.fieldNames.contains("empty_rows"))
+    assert(lin.head.schema.fieldNames.contains("oversize_docs"))
+    // event-log audit rows (S9/ST4 analogues): start + completion
+    val m = new graft.pipeline.JobMetrics(spark, "probe")
+    val events = m.readEventLog(root)
+    m.close()
+    assert(events.exists(_.contains("job_start")), events.mkString("\n"))
+    assert(events.exists(_.contains("commit_complete snapshot=0")), events.mkString("\n"))
+    assert(events.forall(_.matches("^\\d{4}-\\d{2}-\\d{2}T.*")), "ISO-timestamped lines")
   }
 
   test("crash after k groups → rerun completes only remaining groups; table identical") {

@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.extract.Extractor
+import graft.gen.PageGen
+import graft.pdf.PdfSpans
+
+/** Degradation & property tests (SURVEY.md §5.2 items 3-4): malformed
+  * input NEVER throws out of the extractor — error-as-row always
+  * (policy from ocr_parallel_ui.py:33-34). */
+class RobustnessSpec extends AnyFunSuite {
+
+  test("property: extract never throws on arbitrary byte payloads") {
+    val genBytes = Gen.oneOf(
+      Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray),
+      Gen.listOf(Gen.choose(32.toByte, 126.toByte)).map(_.toArray),
+      // adversarial prefixes
+      Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue))
+        .map(t => "%PDF-1.4\n".getBytes("UTF-8") ++ t.toArray),
+      Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue))
+        .map(t => "<html><body>".getBytes("UTF-8") ++ t.toArray))
+    (0 until 800).foreach { i =>
+      val b = genBytes.pureApply(Gen.Parameters.default, Seed(1234L + i))
+      val r = Extractor.extract(b, "en") // must not throw
+      assert((r.text != null) != (r.error != null) || (r.text == "" && r.error == null),
+        s"seed=$i: exactly one of text/error (or blank success): $r")
+      r.spans.foreach(s => assert(s.start >= 0 && s.end <= (if (r.text == null) 0 else r.text.length)))
+    }
+  }
+
+  test("pdf: truncation at every cut point parses or errors, never crashes") {
+    val (bytes, full) = PageGen.pdfDoc(PageGen.rngFor(12345L), "en")
+    assert(Extractor.extract(bytes, "en").text == full)
+    var cuts = 0
+    (1 until bytes.length by 7).foreach { cut =>
+      val r = Extractor.extract(java.util.Arrays.copyOfRange(bytes, 0, cut), "en")
+      assert(r.error == null || r.error.startsWith(Extractor.ErrorPrefix))
+      cuts += 1
+    }
+    assert(cuts > 50)
+  }
+
+  test("pdf: escapes, TJ kerning arrays, hex strings, multi-page") {
+    val content =
+      """BT /F1 12 Tf 72 720 Td
+        |(paren \(inside\) and \\ backslash) Tj
+        |0 -14 Td
+        |[(ker) -120 (ned)] TJ
+        |0 -14 Td
+        |<48656C6C6F> Tj
+        |ET""".stripMargin.getBytes("UTF-8")
+    val pdf = ("%PDF-1.4\n1 0 obj\n<< /Length " + content.length +
+      " >>\nstream\n").getBytes("UTF-8") ++ content ++
+      "\nendstream\nendobj\ntrailer\n%%EOF\n".getBytes("UTF-8")
+    val pages = PdfSpans.parsePages(pdf)
+    assert(pages == Seq(Seq("paren (inside) and \\ backslash", "kerned", "Hello")))
+  }
+
+  test("extraction is a pure function: repeated calls bit-identical") {
+    (0L until 50L).foreach { id =>
+      val row = PageGen.row(id)
+      val a = Extractor.extract(row.html, row.lang)
+      val b = Extractor.extract(row.html.clone(), row.lang)
+      assert(a == b, s"id=$id nondeterministic extraction")
+    }
+  }
+
+  test("unicode trim handles NBSP like Python str.strip") {
+    import graft.html.BlockSegmenter.unicodeTrim
+    assert(unicodeTrim(" \u00A0x\u00A0 \t\n") == "x")
+    assert(unicodeTrim(" a ") == "a")
+    assert(unicodeTrim("") == "")
+    assert(unicodeTrim(" ") == "")
+  }
+}
