@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape checks — the scale contract (builder brief:
+  * "is the filter pushed down? is this join broadcast-able, and did I
+  * broadcast it? is there a shuffle that becomes the bottleneck?"). */
+class PlanChecksSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local(8, "graft-plan-test")
+  val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q2: predicate and projection pushed to the parquet scan") {
+    val p = plan("q2_filter_pushdown")
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThanOrEqual(p_size,25"), p)
+    assert(p.contains("EqualTo(p_type,PROMO)"), p)
+    assert(p.contains("ReadSchema") &&
+      !p.contains("p_retailprice") && !p.contains("p_brand"),
+      "scan must read only the projected columns")
+  }
+
+  test("q3: small dimensions are broadcast, not shuffled") {
+    val p = plan("q3_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "dims must not sort-merge")
+  }
+
+  test("extraction over a table scan prunes unused columns") {
+    val stage = java.nio.file.Files.createTempDirectory("plancheck").toString + "/pages"
+    graft.pipeline.ExtractPipeline.pages(spark, 50).toDF()
+      .write.mode("overwrite").parquet(stage)
+    val p = graft.pipeline.ExtractPipeline.extracted(spark.read.parquet(stage))
+      .queryExecution.executedPlan.toString
+    // ground-truth text and warc_ts must NOT be read from the scan
+    assert(p.contains("ReadSchema"), p)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("html") && readSchema.contains("url"))
+    assert(!readSchema.contains("warc_ts") && !readSchema.contains("text,"),
+      s"unused columns must be pruned: $readSchema")
+  }
+
+  test("no accidental cartesian products in candidate-join ops") {
+    Seq("d2_ngram_jaccard", "d3_minhash_lsh", "d4_simhash", "t4_fingerprint",
+      "d5_embed_neardup").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
+    }
+  }
+
+  test("s1 brute-force top-k is a deliberate broadcast nested loop (small query side)") {
+    val p = plan("s1_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"),
+      "query side must be broadcast for the corpus scan")
+  }
+
+  test("whole-stage codegen covers the relational battery") {
+    // codegen stages print as "*(n)"; AQE shows them only in the final
+    // executed plan, so run the query first
+    Seq("q1_agg", "q5_window", "q10_events_hourly").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert("""\*\(\d+\)""".r.findFirstIn(p).isDefined,
+        s"$q fell out of codegen:\n${p.take(800)}")
+    }
+  }
+}
