@@ -145,6 +145,32 @@ object OpsQueries {
         .filter(col("shared_fp") >= 8)
         .orderBy("id_a", "id_b")
     }),
+    // IVF ANN: k-means coarse quantizer + nprobe inverted-list search
+    "s3_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = IvfIndex.train(emb, k = 16, iters = 2)
+      val queries = emb.filter(col("vec_id") < 5)
+      IvfIndex.topK(emb, queries, centroids, k = 10, nprobe = 4)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy("query_id", "rank")
+    }),
+    // repetition filter: distinct-trigram ratio (training-data quality)
+    "t5_repetition" -> ((s, dir) => {
+      val sh = Dedup.shingles(col("text"))
+      val words = split(trim(col("text")), "\\s+")
+      val shAll = when(size(words) >= 3,
+        transform(sequence(lit(0), size(words) - 3),
+          i => concat_ws(" ", slice(words, i + 1, lit(3))))).otherwise(array())
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(shAll).as("n_trigrams"),
+          size(sh).as("n_distinct"),
+          when(size(shAll) > 0,
+            round(size(sh).cast("double") / size(shAll).cast("double"), 6))
+            .otherwise(lit(1.0)).as("distinct_ratio"))
+        .withColumn("repetitive", col("distinct_ratio") < 0.5)
+        .orderBy("doc_id")
+    }),
     // multimodal plumbing: stub decode + feature schema + frame sample
     "m1_media_features" -> ((s, _) => {
       val feats = Multimodal.features(Multimodal.gen(s, 300)).toDF()

@@ -80,6 +80,40 @@ class OpsSpec extends AnyFunSuite {
     assert(ann >= 0.8, s"ANN top-1 recall $ann (multi-probe, 8 planes)")
   }
 
+  test("IVF ANN: finds the true near neighbor of perturbed queries") {
+    import spark.implicits._
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet")
+    val base = corpus.filter(col("vec_id") < 20)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val queries = base.map { case (id, v) =>
+      val r = new java.util.Random(id * 104729L)
+      (id + 10000L, v.map(x => x + (r.nextFloat() - 0.5f) * 0.02f))
+    }.toSeq.toDF("vec_id", "embedding")
+    val centroids = graft.ops.IvfIndex.train(corpus, k = 16, iters = 2)
+    val top1 = graft.ops.IvfIndex.topK(corpus, queries, centroids, k = 5, nprobe = 4)
+      .filter(col("rank") === 1).select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val recall = base.count { case (id, _) => top1.get(id + 10000L).contains(id) }
+      .toDouble / base.length
+    assert(recall >= 0.9, s"IVF top-1 recall $recall (k=16, nprobe=4)")
+  }
+
+  test("repetition filter flags repetitive docs, passes normal ones") {
+    import spark.implicits._
+    GraftSession.register(spark)
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+      (2L, "a genuinely varied sentence with many different words appearing once each time")
+    ).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("rep_docs")
+    val sh = graft.ops.Dedup.shingles(col("text"))
+    val r = docs.select(col("doc_id"), sh.as("s")).collect()
+      .map(x => x.getLong(0) -> x.getSeq[String](1).length).toMap
+    assert(r(1L) == 1, "all-identical trigrams collapse to one distinct shingle")
+    assert(r(2L) > 8, "varied text keeps its distinct trigrams")
+  }
+
   test("langid heuristic recovers planted page languages") {
     val out = OpsQueries.all("t1_langid")(spark, sf).collect()
     val acc = out.count(r => r.getString(1) == r.getString(2)).toDouble / out.length
