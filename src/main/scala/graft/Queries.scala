@@ -246,6 +246,19 @@ object Queries {
           element_at(col("embedding"), 1).as("first_val"))
         .orderBy("vec_id")
     }),
+    // as-of join (composed union+window, one shuffle — AsOfJoin.scala):
+    // each purchase gets the user's latest prior-or-equal signup value
+    "q20_asof" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val fact = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val dim = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("ts").as("dim_ts"))
+        .agg(max(col("value")).as("value")) // dedupe same-instant dims
+      graft.ops.AsOfJoin.latestBefore(fact, dim, "user_id", "ts", "dim_ts", Seq("value"))
+        .select(col("event_id"), col("user_id"), col("dim_value"))
+        .orderBy("event_id")
+    }),
     // P1: conditional dispatch expression (when/otherwise)
     "q12_case_dispatch" -> ((s, dir) => {
       t(s, dir, "events")
@@ -355,6 +368,16 @@ object Queries {
         | list_max(embedding) AS vmax, list_min(embedding) AS vmin,
         | embedding[1] AS first_val
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q20_asof" ->
+      """WITH fact AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |dim AS (
+        |  SELECT user_id, ts AS dim_ts, MAX(value) AS value
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+        |SELECT f.event_id, f.user_id, d.value AS dim_value
+        |FROM fact f ASOF LEFT JOIN dim d
+        |  ON f.user_id = d.user_id AND f.ts >= d.dim_ts
+        |ORDER BY f.event_id""".stripMargin,
     "q12_case_dispatch" ->
       """SELECT event_id,
         | CASE WHEN event_type = 'click' THEN 'ui'

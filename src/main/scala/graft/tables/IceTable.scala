@@ -177,6 +177,30 @@ final class IceTable(val root: String, spark: SparkSession) {
     next
   }
 
+  /** Expire snapshots older than `keep` latest ones: delete their
+    * manifests and any data-commit directories no surviving snapshot
+    * references (backup retention discipline — the reference prunes by
+    * listing+selection, backup_manager.py:63-77; Iceberg calls this
+    * expire_snapshots). The current snapshot is never expired. */
+  def expireSnapshots(keep: Int): Seq[Long] = {
+    require(keep >= 1)
+    val all = snapshots
+    if (all.length <= keep) return Nil
+    val (drop, keepIds) = all.splitAt(all.length - keep)
+    val referenced = keepIds.map(readSnapshot(_).commitId).toSet
+    val dropped = drop.filter { id =>
+      val snap = readSnapshot(id)
+      fs.delete(snapPath(id), false)
+      if (!referenced.contains(snap.commitId)) {
+        fs.delete(new Path(root, s"data/commit-${snap.commitId}"), true)
+        fs.delete(new Path(root, s"metadata/lineage/${snap.commitId}"), true)
+        fs.delete(new Path(metaDir, s"progress/${snap.commitId}"), true)
+      }
+      true
+    }
+    dropped
+  }
+
   /** Completed resume groups for a commit (test/ops introspection). */
   def completedGroups(commitId: String): Set[Int] = {
     val p = new Path(metaDir, s"progress/$commitId")

@@ -78,5 +78,25 @@ class IceTableSpec extends AnyFunSuite {
     assert(table.read(Some(0L)).count() == 200L)
     assert(table.read(Some(1L)).count() == 400L)
     assert(table.read().count() == 400L)
+    // expire: old snapshot + its unreferenced data go away, latest intact
+    assert(table.expireSnapshots(keep = 1) == Seq(0L))
+    assert(table.snapshots == Seq(1L))
+    assert(table.read().count() == 400L)
+    intercept[Exception] { table.readSnapshot(0L) }
+  }
+
+  test("text sink writes UTF-8 lines and refuses an all-blank save") {
+    import org.apache.spark.sql.functions._
+    val out = tmpRoot("textsink") + "/txt"
+    val extracted = graft.pipeline.ExtractPipeline.extracted(
+      graft.pipeline.ExtractPipeline.pages(spark, 100).toDF())
+    val n = graft.pipeline.TextSink.save(extracted, out)
+    assert(n > 80 && spark.read.text(out).count() == n)
+    val line = spark.read.text(out).orderBy("value").collect()(0).getString(0)
+    assert(line.contains("\t--- صفحة 1 ---\\n"), line.take(120))
+    intercept[graft.pipeline.TextSink.EmptyOutputException] {
+      graft.pipeline.TextSink.save(
+        extracted.filter(lit(false)), tmpRoot("textsink2") + "/txt")
+    }
   }
 }
