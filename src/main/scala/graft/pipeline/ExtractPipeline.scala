@@ -5,6 +5,15 @@ import org.apache.spark.sql.functions._
 
 import graft.gen.{PageGen, PageRow}
 
+/** Typed output row (FIXTURES.md §2 schema). */
+final case class SpanRow(start: Int, end: Int, kind: String)
+final case class ExtractedRow(
+    url: String,
+    text: String,
+    spans: Seq[SpanRow],
+    lang: String,
+    error: String)
+
 /** preprocess → region-extract → recognize → export as declarative
   * Dataset stages (SURVEY.md §7.3). The per-page loop of the reference
   * (main_window.py:347-385) is per-row expression evaluation inside
@@ -35,6 +44,14 @@ object ExtractPipeline {
         col("r.spans").as("spans"),
         col("lang"),
         col("r.error").as("error"))
+
+  /** Typed view of the extraction stage — compile-time field checks
+    * for downstream stages (north star: "typed Dataset pipeline");
+    * same plan as `extracted` (the encoder maps the identical schema). */
+  def extractedTyped(pages: DataFrame): Dataset[ExtractedRow] = {
+    import pages.sparkSession.implicits._
+    extracted(pages).as[ExtractedRow]
+  }
 
   /** Physical partitioning for the export stage (north rule:
     * "hash-bucketed by url with salting for skewed hosts").

@@ -41,16 +41,9 @@ final class IceTable(val root: String, spark: SparkSession) {
   private def snapPath(n: Long) = new Path(metaDir, s"snap-$n.json")
   private def hintPath = new Path(metaDir, "version-hint.text")
 
-  // ---- snapshot log ---------------------------------------------------
+  import IceTable.{DataFileEntry, Snapshot}
 
-  final case class DataFileEntry(path: String, bytes: Long)
-  final case class Snapshot(
-      id: Long,
-      parentId: Long,
-      commitId: String,
-      files: Seq[DataFileEntry],
-      rows: Long,
-      lineagePath: String)
+  // ---- snapshot log ---------------------------------------------------
 
   /** Latest snapshot id: hint if valid, else list-scan (crash-safe). */
   def currentSnapshotId: Option[Long] = {
@@ -258,4 +251,15 @@ final class IceTable(val root: String, spark: SparkSession) {
     Snapshot(longField("snapshot_id"), longField("parent_id"),
       strField("commit_id"), files, longField("rows"), strField("lineage"))
   }
+}
+
+object IceTable {
+  final case class DataFileEntry(path: String, bytes: Long)
+  final case class Snapshot(
+      id: Long,
+      parentId: Long,
+      commitId: String,
+      files: Seq[DataFileEntry],
+      rows: Long,
+      lineagePath: String)
 }
