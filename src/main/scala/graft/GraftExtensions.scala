@@ -30,5 +30,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("graft_langid", exprs => LangId(exprs.head))
     inject("graft_lsh_bucket", exprs => LshBucket(exprs.head, exprs(1)))
     inject("graft_explode_blocks", exprs => ExplodeBlocks(exprs.head))
+    inject("graft_shingles", exprs => Shingles(exprs.head))
   }
 }

@@ -31,6 +31,8 @@ object GraftSession {
       "graft_lsh_bucket", exprs => LshBucket(exprs.head, exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction(
       "graft_explode_blocks", exprs => graft.expr.ExplodeBlocks(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_shingles", exprs => graft.expr.Shingles(exprs.head), "scala_udf")
     spark
   }
 

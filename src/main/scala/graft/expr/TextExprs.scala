@@ -115,6 +115,51 @@ case class MinHashSig(child: Expression, k: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `graft_shingles(text) -> ARRAY<STRING>` — distinct word 3-gram
+  * shingles in one pass (the built-in `transform(sequence…, slice…)`
+  * formulation is O(words²) per document; this is O(chars)). Exact
+  * same output set as Dedup.shinglesBuiltin — asserted in OpsSpec. */
+case class Shingles(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "graft_shingles"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    val n = s.length
+    // collect word boundaries (single pass)
+    val starts = new scala.collection.mutable.ArrayBuffer[Int](64)
+    val ends = new scala.collection.mutable.ArrayBuffer[Int](64)
+    var i = 0
+    while (i < n) {
+      while (i < n && graft.html.BlockSegmenter.isWs(s.charAt(i))) i += 1
+      if (i < n) {
+        starts += i
+        while (i < n && !graft.html.BlockSegmenter.isWs(s.charAt(i))) i += 1
+        ends += i
+      }
+    }
+    val w = starts.length
+    if (w < 3) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val sb = new java.lang.StringBuilder(64)
+    var k = 0
+    while (k + 2 < w) {
+      sb.setLength(0)
+      sb.append(s, starts(k), ends(k)).append(' ')
+        .append(s, starts(k + 1), ends(k + 1)).append(' ')
+        .append(s, starts(k + 2), ends(k + 2))
+      seen.add(UTF8String.fromString(sb.toString))
+      k += 1
+    }
+    val arr = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = it.next(); j += 1 }
+    new GenericArrayData(arr)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 /** `graft_fingerprint(text, window) -> ARRAY<BIGINT>` — winnowing
   * document fingerprint (Schleimer et al., SIGMOD 2003): rolling hash
   * over character 8-grams, minimum per sliding window, deduplicated,

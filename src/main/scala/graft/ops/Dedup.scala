@@ -19,9 +19,15 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
       .filter(col("dup_cnt") > 1)
 
-  /** Word 3-gram shingle set via pure built-ins (codegen'd):
-    * slide a 3-window over the whitespace tokens. */
-  def shingles(textCol: Column): Column = {
+  /** Distinct word 3-gram shingle set — single-pass `graft_shingles`
+    * expression (O(chars); requires GraftSession.register). */
+  def shingles(textCol: Column): Column =
+    call_function("graft_shingles", textCol)
+
+  /** Reference formulation via pure built-ins — O(words²) per doc
+    * (`slice` per index); kept as the equality oracle for the
+    * expression (OpsSpec) and for sessions without graft functions. */
+  def shinglesBuiltin(textCol: Column): Column = {
     val words = split(trim(textCol), "\\s+")
     array_distinct(
       when(size(words) >= 3,

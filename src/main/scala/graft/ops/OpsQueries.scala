@@ -49,6 +49,7 @@ object OpsQueries {
     }),
     // exact n-gram Jaccard over inverted shingle index
     "d2_ngram_jaccard" -> ((s, dir) => {
+      GraftSession.register(s)
       Dedup.ngramJaccardPairs(docsWithNearDups(s, dir), "doc_id", "text", 0.6)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("id_a", "id_b")
@@ -156,6 +157,7 @@ object OpsQueries {
     }),
     // repetition filter: distinct-trigram ratio (training-data quality)
     "t5_repetition" -> ((s, dir) => {
+      GraftSession.register(s)
       val sh = Dedup.shingles(col("text"))
       val words = split(trim(col("text")), "\\s+")
       val shAll = when(size(words) >= 3,

@@ -120,6 +120,17 @@ class OpsSpec extends AnyFunSuite {
     assert(acc >= 0.95, s"langid accuracy $acc on ${out.length} pages")
   }
 
+  test("graft_shingles expression == built-in reference formulation") {
+    GraftSession.register(spark)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val both = docs.select(
+      Dedup.shingles(col("text")).as("fast"),
+      Dedup.shinglesBuiltin(col("text")).as("ref")).collect()
+    both.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), "shingle sets diverged")
+    }
+  }
+
   test("fingerprint: deterministic, edit-robust, discriminative") {
     GraftSession.register(spark)
     val df = spark.sql(
