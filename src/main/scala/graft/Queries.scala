@@ -259,6 +259,28 @@ object Queries {
         .select(col("event_id"), col("user_id"), col("dim_value"))
         .orderBy("event_id")
     }),
+    // batch sessionization: gap>30min starts a new session (window
+    // running-sum of boundary flags — the streaming sessionize's
+    // batch twin, fully SQL-expressible for the oracle)
+    "q21_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val ev = t(s, dir, "events")
+        .withColumn("prev_us", lag(unix_micros(col("ts").cast("timestamp")), 1).over(w))
+        .withColumn("boundary",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts").cast("timestamp")) - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+      ev.groupBy(col("user_id"))
+        .agg(sum(col("boundary")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+    // exact median (interpolating percentile) per group
+    "q22_median" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(round(expr("median(value)"), 6).as("med_value"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
     // P1: conditional dispatch expression (when/otherwise)
     "q12_case_dispatch" -> ((s, dir) => {
       t(s, dir, "events")
@@ -378,6 +400,19 @@ object Queries {
         |FROM fact f ASOF LEFT JOIN dim d
         |  ON f.user_id = d.user_id AND f.ts >= d.dim_ts
         |ORDER BY f.event_id""".stripMargin,
+    "q21_sessionize" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id,
+        |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events)
+        |SELECT user_id,
+        |  SUM(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+        |      THEN 1 ELSE 0 END) AS n_sessions,
+        |  COUNT(*) AS n_events
+        |FROM ev GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q22_median" ->
+      """SELECT event_type, ROUND(MEDIAN(value), 6) AS med_value, COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q12_case_dispatch" ->
       """SELECT event_id,
         | CASE WHEN event_type = 'click' THEN 'ui'
