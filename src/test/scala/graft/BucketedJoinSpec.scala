@@ -9,31 +9,26 @@ import org.scalatest.funsuite.AnyFunSuite
   * key join WITHOUT a shuffle exchange on either side. */
 class BucketedJoinSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = {
-    val wh = java.nio.file.Files.createTempDirectory("graft-warehouse").toString
-    val s = SparkSession.builder()
-      .master("local[8]")
-      .appName("graft-bucketed-test")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.warehouse.dir", wh)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // isolate from other suites' default session
-      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    GraftSession.register(s)
-  }
+  // suites share one session per JVM — configure at runtime, not via
+  // builder configs (which are ignored on getOrCreate of an existing
+  // session)
+  lazy val spark: SparkSession = GraftSession.local(8, "graft-bucketed-test")
 
   test("bucketBy tables join with zero shuffle exchanges") {
     val sf = "/root/testdata/sf0.001"
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+    val wh = java.nio.file.Files.createTempDirectory("graft-warehouse").toString
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS o_b")
     spark.read.parquet(s"$sf/lineitem.parquet")
       .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/li_b")
       .saveAsTable("li_b")
     spark.read.parquet(s"$sf/orders.parquet")
       .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/o_b")
       .saveAsTable("o_b")
     val joined = spark.table("li_b")
       .join(spark.table("o_b"), col("l_orderkey") === col("o_orderkey"))
@@ -59,5 +54,10 @@ class BucketedJoinSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val got = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS o_b")
+    }
   }
 }
