@@ -15,9 +15,19 @@ object GraftSession {
 
   def register(spark: SparkSession): SparkSession = {
     val reg = spark.sessionState.functionRegistry
+    // optional 3rd arg: engine name as a foldable string literal
+    // ("default" | "alt" | "both") — engine choice folds at plan time,
+    // mirroring the reference's construction-time engine selection
+    // (main_window.py:450 engine combo → OCRWorker ctor)
     reg.createOrReplaceTempFunction(
       "graft_extract",
-      exprs => ExtractMainText(exprs.head, exprs(1)),
+      exprs => {
+        val engine =
+          if (exprs.length >= 3)
+            graft.extract.Engine.parse(exprs(2).eval(null).toString)
+          else graft.extract.Engine.Default
+        ExtractMainText(exprs.head, exprs(1), engine)
+      },
       "scala_udf")
     reg.createOrReplaceTempFunction(
       "graft_simhash", exprs => SimHash64(exprs.head), "scala_udf")

@@ -22,10 +22,15 @@ object Queries {
   // ----- extraction queries (non-SQL-expressible → golden scalatests) -----
 
   private val extraction: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // S1-S5/P1/F5: full scan→dispatch→extract pipeline (SURVEY §3.1)
+    // S1-S5/P1/F5: full scan→dispatch→extract pipeline (SURVEY §3.1).
+    // The raw spans array is projected to size(spans): the driver's
+    // pandas-side sort can't hash array cells (CORRECTNESS_r01 x1 err);
+    // spans themselves are fully checked flattened in x2.
     "x1_extract_pages" -> ((s, _) => {
       GraftSession.register(s)
       ExtractPipeline.extracted(ExtractPipeline.pages(s, 2000).toDF())
+        .select(col("url"), col("text"), size(col("spans")).as("n_spans"),
+          col("lang"), col("error"))
         .orderBy("url")
     }),
     // spans view (region-extract stage output)
@@ -67,11 +72,79 @@ object Queries {
           x => x.getField("page")), "\n\n").as("text"))
         .orderBy("url")
     }),
+    // DRIVER-ATTESTED end-to-end extraction: wrap each documents-table
+    // text in a deterministic HTML template (nav + heading + body +
+    // link-dense footer) and run the REAL pipeline (tokenize → segment
+    // → classify → assemble). Because the template is simple, the
+    // expected output is SQL-expressible: nav/footer are boilerplate
+    // (dropped), the heading survives iff the body block is kept, and
+    // the body is kept iff its word count reaches the MinContentWords
+    // floor (single-bin histogram ⇒ Otsu declines ⇒ threshold 15).
+    // This turns the extraction core from golden-attested into
+    // DuckDB-oracle-attested.
+    "x6_extract_roundtrip" -> ((s, dir) => {
+      GraftSession.register(s)
+      val html = concat(
+        lit("<html><head><title>t</title></head><body>" +
+          "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a></nav><h1>Title "),
+        col("doc_id"),
+        lit("</h1><p>"), col("text"),
+        lit("</p><footer>Copyright <a href=\"#\">here</a> <a href=\"#\">there</a></footer>" +
+          "</body></html>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          call_function("graft_extract", encode(html, "UTF-8"), col("lang")).as("r"))
+        .select(col("doc_id"), col("r.text").as("text"),
+          size(col("r.spans")).as("n_spans"), col("r.error").as("error"))
+        .orderBy("doc_id")
+    }),
+    // multi-part assembly (two <article> pages → two صفحة headers) plus
+    // the error-as-row policy: every 10th doc gets an invalid-UTF-8
+    // payload (0xFF prefix) and must surface as an error row with the
+    // reference's exact message format — all DuckDB-oracled.
+    "x7_extract_parts" -> ((s, dir) => {
+      GraftSession.register(s)
+      val html = concat(
+        lit("<html><body><article><p>"), col("text"),
+        lit("</p></article><article><h2>Part two</h2><p>"), col("text"),
+        lit("</p></article></body></html>"))
+      val payload = when(col("doc_id") % 10 === 0,
+          concat(lit(Array[Byte](-1)), encode(html, "UTF-8")))
+        .otherwise(encode(html, "UTF-8"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          call_function("graft_extract", payload, col("lang")).as("r"))
+        .select(col("doc_id"), col("r.text").as("text"),
+          size(col("r.spans")).as("n_spans"), col("r.error").as("error"))
+        .orderBy("doc_id")
+    }),
+    // dual-engine extraction ("كلاهما"): default + alt classifier over
+    // the same token stream, per-part concat with the reference's
+    // no-separator format (main_window.py:363-374). The alt engine's
+    // lower content floor (8 vs 15 words) makes 10-14-word docs
+    // alt-only — both branches of the dual path are driver-attested.
+    "x8_dual_engine" -> ((s, dir) => {
+      GraftSession.register(s)
+      val html = concat(
+        lit("<html><head><title>t</title></head><body>" +
+          "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a></nav><h1>Title "),
+        col("doc_id"),
+        lit("</h1><p>"), col("text"),
+        lit("</p><footer>Copyright <a href=\"#\">here</a> <a href=\"#\">there</a></footer>" +
+          "</body></html>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          call_function("graft_extract", encode(html, "UTF-8"), col("lang"),
+            lit("both")).as("r"))
+        .select(col("doc_id"), col("r.text").as("text"),
+          size(col("r.spans")).as("n_spans"), col("r.error").as("error"))
+        .orderBy("doc_id")
+    }),
     // north rule: bucket+salt layout columns
     "x4_extract_bucketed" -> ((s, _) => {
       GraftSession.register(s)
       val pages = ExtractPipeline.pages(s, 2000).toDF()
-      val hot = ExtractPipeline.hotHosts(pages, 1000, 0.05)
+      val hot = ExtractPipeline.hotHosts(pages, 1000, 0.05, totalHint = 2000)
       ExtractPipeline.withBucket(ExtractPipeline.extracted(pages), 32, hot, 8)
         .select(col("url"), col("bucket"), col("salt"))
         .orderBy("url")
@@ -364,7 +437,7 @@ object Queries {
         |ORDER BY c_custkey""".stripMargin,
     "q14_outerjoin_agg" ->
       """SELECT n_name,
-        | SUM(CASE WHEN s_suppkey IS NOT NULL THEN 1 ELSE 0 END) AS n_suppliers
+        | CAST(SUM(CASE WHEN s_suppkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_suppliers
         |FROM nation LEFT OUTER JOIN supplier ON n_nationkey = s_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q15_cube" ->
@@ -406,8 +479,8 @@ object Queries {
         |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
         |  FROM events)
         |SELECT user_id,
-        |  SUM(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
-        |      THEN 1 ELSE 0 END) AS n_sessions,
+        |  CAST(SUM(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         |  COUNT(*) AS n_events
         |FROM ev GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q22_median" ->
@@ -419,6 +492,45 @@ object Queries {
         |      WHEN event_type = 'purchase' THEN 'commerce'
         |      ELSE 'other' END AS channel,
         | CASE WHEN value > 100.0 THEN value * 0.9 ELSE value END AS adj_value
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+    // end-to-end extraction roundtrip: the expected pipeline output
+    // derived independently from the documents table (see the x6 query
+    // comment for why this is exactly the engine's contract)
+    "x6_extract_roundtrip" ->
+      """SELECT d.doc_id,
+        | CASE WHEN len(string_split(trim(d.text), ' ')) >= 15
+        |   THEN '--- صفحة 1 ---' || chr(10) || 'Title ' || d.doc_id || chr(10) || d.text
+        |   ELSE '' END AS text,
+        | CASE WHEN len(string_split(trim(d.text), ' ')) >= 15 THEN 2 ELSE 0 END AS n_spans,
+        | CAST(NULL AS VARCHAR) AS error
+        |FROM documents d ORDER BY d.doc_id""".stripMargin,
+    "x7_extract_parts" ->
+      """SELECT d.doc_id,
+        | CASE WHEN d.doc_id % 10 = 0 THEN NULL
+        |      WHEN len(string_split(trim(d.text), ' ')) >= 15
+        |      THEN '--- صفحة 1 ---' || chr(10) || d.text || chr(10) || chr(10) ||
+        |           '--- صفحة 2 ---' || chr(10) || 'Part two' || chr(10) || d.text
+        |      ELSE '' END AS text,
+        | CASE WHEN d.doc_id % 10 = 0 THEN 0
+        |      WHEN len(string_split(trim(d.text), ' ')) >= 15 THEN 3 ELSE 0 END AS n_spans,
+        | CASE WHEN d.doc_id % 10 = 0 THEN 'حدث خطأ: invalid utf-8 payload'
+        |      ELSE NULL END AS error
+        |FROM documents d ORDER BY d.doc_id""".stripMargin,
+    // dual-engine: ≥15 words → both engines keep (heading+body twice,
+    // engine outputs concatenated with NO separator); 8-14 words →
+    // alt engine only; <8 → empty
+    "x8_dual_engine" ->
+      """SELECT d.doc_id,
+        | CASE WHEN len(string_split(trim(d.text), ' ')) >= 15
+        |   THEN '--- صفحة 1 ---' || chr(10) || 'Title ' || d.doc_id || chr(10) || d.text
+        |        || 'Title ' || d.doc_id || chr(10) || d.text
+        |      WHEN len(string_split(trim(d.text), ' ')) >= 8
+        |   THEN '--- صفحة 1 ---' || chr(10) || 'Title ' || d.doc_id || chr(10) || d.text
+        |   ELSE '' END AS text,
+        | CASE WHEN len(string_split(trim(d.text), ' ')) >= 15 THEN 4
+        |      WHEN len(string_split(trim(d.text), ' ')) >= 8 THEN 2
+        |      ELSE 0 END AS n_spans,
+        | CAST(NULL AS VARCHAR) AS error
+        |FROM documents d ORDER BY d.doc_id""".stripMargin
   ) ++ graft.ops.OpsQueries.oracles
 }

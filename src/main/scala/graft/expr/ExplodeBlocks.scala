@@ -46,7 +46,7 @@ case class ExplodeBlocks(child: Expression)
     if (payload == null) return Nil
     val bytes = payload.asInstanceOf[Array[Byte]]
     Extractor.decodeUtf8(bytes) match {
-      case Some(s) if s.indexOf('<') >= 0 =>
+      case Some(s) if Extractor.looksHtml(s) =>
         val blocks = FusedSegmenter.segment(s)
         val kept = Boilerplate.classify(blocks)
         val keptSet = scala.collection.mutable.HashSet.empty[Int]

@@ -25,7 +25,8 @@ import graft.extract.Extractor
   * Error policy: parse failures return a row with `error` set, never
   * an exception (ocr_parallel_ui.py:33-34).
   */
-case class ExtractMainText(left: Expression, right: Expression)
+case class ExtractMainText(left: Expression, right: Expression,
+    engine: graft.extract.Engine = graft.extract.Engine.Default)
     extends BinaryExpression with CodegenFallback {
 
   override def prettyName: String = "graft_extract"
@@ -40,7 +41,7 @@ case class ExtractMainText(left: Expression, right: Expression)
     val langAny = right.eval(input)
     val html = if (htmlAny == null) Array.emptyByteArray else htmlAny.asInstanceOf[Array[Byte]]
     val lang = if (langAny == null) "en" else langAny.toString
-    val r = Extractor.extract(html, lang)
+    val r = Extractor.extract(html, lang, engine)
     val spans = new GenericArrayData(r.spans.map { s =>
       InternalRow(s.start, s.end, UTF8String.fromString(s.kind))
     }.toArray[Any])

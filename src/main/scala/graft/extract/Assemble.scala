@@ -49,7 +49,15 @@ object Assemble {
         }
       }
     }
-    val raw = sb.toString
+    finish(sb.toString, spans)
+  }
+
+  /** Final-trim + span-shift step shared by single- and dual-engine
+    * assembly (byte-identical to the inline round-1 code — frozen by
+    * the golden digest). */
+  private def finish(
+      raw: String,
+      spans: scala.collection.mutable.ArrayBuffer[(Int, Int, String)]): (String, Seq[Span]) = {
     val trimmed = BlockSegmenter.unicodeTrim(raw)
     var shift = 0 // leading-trim offset (0 whenever a header is present)
     while (shift < raw.length && BlockSegmenter.isWs(raw.charAt(shift))) shift += 1
@@ -60,11 +68,66 @@ object Assemble {
     (trimmed, adjusted)
   }
 
+  /** Dual-engine assembly ("كلاهما" = both): per part, engine A's
+    * blocks then engine B's blocks, where B's first block follows A's
+    * last with NO separator — the reference concatenates the two
+    * engines' page text directly (`text_block += tess.strip();
+    * text_block += easy.strip()`, main_window.py:363-374) — while
+    * blocks WITHIN one engine's output stay "\n"-joined as in A1. A
+    * part appears iff either engine produced text for it; header and
+    * "\n\n" part join are identical to `assemble`. */
+  def assembleDual(parts: Seq[(Int, Seq[(String, String)], Seq[(String, String)])])
+      : (String, Seq[Span]) = {
+    val sb = new java.lang.StringBuilder(512)
+    val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
+    var first = true
+    parts.foreach { case (idx, ba, bb) =>
+      if (ba.nonEmpty || bb.nonEmpty) {
+        if (!first) sb.append("\n\n")
+        first = false
+        sb.append(header(idx)).append('\n')
+        var firstBlock = true
+        ba.foreach { case (kind, text) =>
+          if (!firstBlock) sb.append('\n')
+          firstBlock = false
+          val start = sb.length
+          sb.append(text)
+          spans += ((start, sb.length, kind))
+        }
+        var firstB = true // no separator between the engines' outputs
+        bb.foreach { case (kind, text) =>
+          if (!firstB) sb.append('\n')
+          firstB = false
+          val start = sb.length
+          sb.append(text)
+          spans += ((start, sb.length, kind))
+        }
+      }
+    }
+    finish(sb.toString, spans)
+  }
+
   /** Group classified blocks by part and assemble. */
   def fromBlocks(blocks: Seq[BlockSegmenter.Block]): (String, Seq[Span]) = {
     val parts = blocks.groupBy(_.part).toSeq.sortBy(_._1).map { case (idx, bs) =>
       Part(idx, bs.map(b => (b.kind, b.text)))
     }
     assemble(parts)
+  }
+
+  /** Group two engines' kept blocks by part (union of part indices)
+    * and assemble with the dual-engine concat format. */
+  def fromBlocksDual(
+      a: Seq[BlockSegmenter.Block],
+      b: Seq[BlockSegmenter.Block]): (String, Seq[Span]) = {
+    val byA = a.groupBy(_.part)
+    val byB = b.groupBy(_.part)
+    val idxs = (byA.keySet ++ byB.keySet).toSeq.sorted
+    val parts = idxs.map { idx =>
+      (idx,
+        byA.getOrElse(idx, Nil).map(x => (x.kind, x.text)),
+        byB.getOrElse(idx, Nil).map(x => (x.kind, x.text)))
+    }
+    assembleDual(parts)
   }
 }

@@ -23,11 +23,34 @@ final case class ExtractResult(text: String, spans: Seq[Span], error: String)
   * opaque binary: `%PDF` → PDF span parse; markup → HTML extraction;
   * plain UTF-8 text → paragraph blocks; undecodable bytes → error row.
   */
+/** Extraction engine selection — the reference's engine combo
+  * ("Tesseract" / "EasyOCR" / "كلاهما", main_window.py:450). Engines
+  * share one interface and differ in classifier strategy
+  * (Boilerplate.Params); Both concatenates per part with the
+  * reference's exact no-separator format (main_window.py:363-374).
+  * PDF and plain-text payloads have no classifier stage, so they are
+  * engine-invariant (a single parse — documented divergence from the
+  * reference, where two real OCR engines would each re-read the page). */
+sealed abstract class Engine(val name: String)
+object Engine {
+  case object Default extends Engine("default") // "Tesseract" analogue
+  case object Alt extends Engine("alt")         // "EasyOCR" analogue
+  case object Both extends Engine("both")       // "كلاهما"
+  def parse(s: String): Engine = s match {
+    case "alt"  => Alt
+    case "both" => Both
+    case _      => Default
+  }
+}
+
 object Extractor {
 
   val ErrorPrefix = "حدث خطأ: " // exact reference format, ocr_parallel_ui.py:34
 
-  def extract(payload: Array[Byte], lang: String): ExtractResult = {
+  def extract(payload: Array[Byte], lang: String): ExtractResult =
+    extract(payload, lang, Engine.Default)
+
+  def extract(payload: Array[Byte], lang: String, engine: Engine): ExtractResult = {
     if (payload == null || payload.isEmpty)
       return ExtractResult("", Nil, null) // blank input contract (FIXTURES.md §3)
     try {
@@ -35,7 +58,7 @@ object Extractor {
       else decodeUtf8(payload) match {
         case None => ExtractResult(null, Nil, ErrorPrefix + "invalid utf-8 payload")
         case Some(s) =>
-          if (s.indexOf('<') >= 0 && s.indexOf('>') >= 0) extractHtml(s)
+          if (looksHtml(s)) extractHtml(s, engine)
           else extractPlain(s)
       }
     } catch {
@@ -49,6 +72,13 @@ object Extractor {
 
   @inline private def isPdf(b: Array[Byte]): Boolean =
     b.length >= 4 && b(0) == '%' && b(1) == 'P' && b(2) == 'D' && b(3) == 'F'
+
+  /** Markup-dispatch predicate — single source of truth shared with
+    * ExplodeBlocks so the block-level view and graft_extract classify
+    * every payload identically (both '<' and '>' must appear, else the
+    * payload routes to the plain-text path). */
+  @inline def looksHtml(s: String): Boolean =
+    s.indexOf('<') >= 0 && s.indexOf('>') >= 0
 
   /** Strict UTF-8 decode — malformed bytes are a detectable error, not
     * mojibake (byte-identity discipline, SURVEY.md §7.7).
@@ -69,14 +99,31 @@ object Extractor {
     catch { case _: CharacterCodingException => None }
   }
 
-  def extractHtml(html: String): ExtractResult = {
+  def extractHtml(html: String): ExtractResult = extractHtml(html, Engine.Default)
+
+  def extractHtml(html: String, engine: Engine): ExtractResult = {
     // fused single-pass segmentation (hot path); semantically identical
     // to BlockSegmenter.segment(HtmlTokenizer.tokenize(html)) — see
-    // FusedEquivalenceSpec + frozen golden digest
+    // FusedEquivalenceSpec + frozen golden digest. Segmentation runs
+    // ONCE for any engine choice; only classification differs (the
+    // reference re-OCRs per engine because its engines are external
+    // binaries — ours share the token stream).
     val blocks = graft.html.FusedSegmenter.segment(html)
-    val kept = Boilerplate.classify(blocks)
-    val (text, spans) = Assemble.fromBlocks(kept)
-    ExtractResult(text, spans, null)
+    engine match {
+      case Engine.Default =>
+        val kept = Boilerplate.classify(blocks)
+        val (text, spans) = Assemble.fromBlocks(kept)
+        ExtractResult(text, spans, null)
+      case Engine.Alt =>
+        val kept = Boilerplate.classify(blocks, Boilerplate.Alt)
+        val (text, spans) = Assemble.fromBlocks(kept)
+        ExtractResult(text, spans, null)
+      case Engine.Both =>
+        val keptA = Boilerplate.classify(blocks, Boilerplate.Default)
+        val keptB = Boilerplate.classify(blocks, Boilerplate.Alt)
+        val (text, spans) = Assemble.fromBlocksDual(keptA, keptB)
+        ExtractResult(text, spans, null)
+    }
   }
 
   def extractPdf(bytes: Array[Byte]): ExtractResult = {

@@ -17,29 +17,56 @@ import BlockSegmenter.Block
   */
 object Boilerplate {
 
-  /** Max link-word share for a candidate block: linkWords/words ≤ 1/3. */
-  @inline private def linkDense(b: Block): Boolean = b.linkWords * 3 > b.words
+  /** Classifier strategy parameters — the pluggable-recognizer seam
+    * (reference: engine combo "Tesseract"/"EasyOCR"/"كلاهما",
+    * main_window.py:450; both engines share one interface and differ
+    * only in their decision behavior, main_window.py:365-374).
+    *
+    * @param minContentWords absolute word-count floor for body content
+    * @param maxAutoThreshold upper clamp for the Otsu auto threshold —
+    *   the estimate may move the cut within [minContentWords, this]
+    *   but never above: an auto threshold must not reject a clearly
+    *   substantial block however odd the document's histogram is
+    * @param maxNoiseMean Otsu accepted only when the low cluster looks
+    *   like noise/teaser text (mean ≤ this many words)
+    * @param linkShareNum/Den max link-word share num/den (exceeding ⇒
+    *   the block is link-dense and never content) */
+  final case class Params(
+      minContentWords: Int,
+      maxAutoThreshold: Int,
+      maxNoiseMean: Int,
+      linkShareNum: Int,
+      linkShareDen: Int)
+
+  /** Primary engine (the "Tesseract" analogue) — precision-biased. */
+  val Default: Params = Params(15, 24, 12, 1, 3)
+
+  /** Alternate engine (the "EasyOCR" analogue) — recall-biased: lower
+    * content floor, tighter Otsu clamp, laxer link-density gate. */
+  val Alt: Params = Params(8, 16, 8, 1, 2)
+
+  @inline private def linkDense(b: Block, p: Params): Boolean =
+    b.linkWords * p.linkShareDen > b.words * p.linkShareNum
 
   /** Absolute word-count floor for body (non-heading) content. */
-  val MinContentWords = 15
+  val MinContentWords = Default.minContentWords
 
-  /** Upper clamp for the auto threshold: the Otsu estimate may move the
-    * cut within [MinContentWords, MaxAutoThreshold] but never above —
-    * an auto threshold must not be able to reject a clearly substantial
-    * block (≥25 words) however odd the document's histogram is. */
-  val MaxAutoThreshold = 24
+  /** See Params.maxAutoThreshold. */
+  val MaxAutoThreshold = Default.maxAutoThreshold
 
-  /** Otsu accepted only when the low cluster looks like noise/teaser
-    * text (mean ≤ MaxNoiseMean words), never when it would split real
-    * content in a unimodal document. */
-  val MaxNoiseMean = 12
+  /** See Params.maxNoiseMean. */
+  val MaxNoiseMean = Default.maxNoiseMean
 
   val HistBins = 64
+
+  /** Default-engine classification (frozen golden-digest behavior). */
+  def classify(blocks: IndexedSeq[Block]): IndexedSeq[Block] =
+    classify(blocks, Default)
 
   /** Keep decision over a whole document's blocks (all parts jointly).
     * Returns kept blocks in original order. Index-based single-pass
     * implementation (hot loop: no intermediate collections). */
-  def classify(blocks: IndexedSeq[Block]): IndexedSeq[Block] = {
+  def classify(blocks: IndexedSeq[Block], p: Params): IndexedSeq[Block] = {
     val n = blocks.length
     // Stage 1 — hard rules (ROI analogue): structural boilerplate
     // containers and link-dense blocks are never content.
@@ -48,17 +75,17 @@ object Boilerplate {
     var i = 0
     while (i < n) {
       val b = blocks(i)
-      if (!b.boiler && b.words > 0 && !linkDense(b) && b.kind != "heading")
+      if (!b.boiler && b.words > 0 && !linkDense(b, p) && b.kind != "heading")
         hist(math.min(b.words, HistBins - 1)) += 1
       i += 1
     }
-    val threshold = otsu(hist) match {
-      case Some(t) => math.min(MaxAutoThreshold, math.max(MinContentWords, t))
-      case None    => MinContentWords
+    val threshold = otsu(hist, p.maxNoiseMean) match {
+      case Some(t) => math.min(p.maxAutoThreshold, math.max(p.minContentWords, t))
+      case None    => p.minContentWords
     }
 
     @inline def candidate(b: Block): Boolean =
-      !b.boiler && b.words > 0 && !linkDense(b)
+      !b.boiler && b.words > 0 && !linkDense(b, p)
     @inline def keptBody(b: Block): Boolean =
       candidate(b) && b.kind != "heading" && b.words >= threshold
 
@@ -104,7 +131,9 @@ object Boilerplate {
     * when the split is meaningful: both classes non-empty and the low
     * class mean ≤ MaxNoiseMean.
     */
-  def otsu(hist: Array[Long]): Option[Int] = {
+  def otsu(hist: Array[Long]): Option[Int] = otsu(hist, Default.maxNoiseMean)
+
+  def otsu(hist: Array[Long], maxNoiseMean: Int): Option[Int] = {
     val n = hist.length
     var total = 0L
     var totalSum = 0L
@@ -127,11 +156,14 @@ object Boilerplate {
         val num = sum0 * cnt1 - sum1 * cnt0 // |num| ≤ ~4e6 at doc scale
         val den = cnt0 * cnt1
         // compare num^2/den > bestNum^2/bestDen via cross-multiply;
-        // exact Long when safe (docs under ~1k blocks), BigInt beyond —
-        // same result either way, still no floats.
+        // exact Long when safe, BigInt beyond — same result either way,
+        // still no floats. Worst case |num|² · den ≈ 992·total⁶, which
+        // stays under Long.MaxValue only for total ≤ ~458 — hence the
+        // 450 gate (a higher gate could silently overflow and pick a
+        // different threshold than the BigInt path).
         val better =
           if (bestT < 0) true
-          else if (total <= 1000)
+          else if (total <= 450)
             num * num * bestDen > bestNum * bestNum * den
           else
             BigInt(num) * num * bestDen > BigInt(bestNum) * bestNum * den
@@ -144,6 +176,6 @@ object Boilerplate {
     var lowCnt = 0L; var lowSum = 0L
     i = 0
     while (i < bestT) { lowCnt += hist(i); lowSum += hist(i) * i; i += 1 }
-    if (lowCnt > 0 && lowSum <= MaxNoiseMean * lowCnt) Some(bestT) else None
+    if (lowCnt > 0 && lowSum <= maxNoiseMean.toLong * lowCnt) Some(bestT) else None
   }
 }

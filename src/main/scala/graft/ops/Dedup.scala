@@ -37,20 +37,38 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard similarity for candidate pairs that share at
-    * least one shingle (inverted-index equi-join — the scalable shape:
-    * shuffle keyed by shingle, never cross-join). */
+    * least one NON-STOP shingle (inverted-index equi-join — the
+    * scalable shape: shuffle keyed by shingle, never cross-join).
+    *
+    * Stop-shingle cap (`dfCap`): a shingle present in more than dfCap
+    * docs ("terms of service" at web scale) keys a join whose output is
+    * quadratic WITHIN one key — AQE skew splitting cannot save that, so
+    * hot shingles are excluded from candidate generation via a
+    * broadcast anti-join on the (small) hot set. Jaccard stays EXACT:
+    * candidates re-join their full shingle sets and the similarity is
+    * computed over the complete arrays. The only loss is recall for
+    * pairs whose every shared shingle is hot — standard stop-gram
+    * practice (t4's winnowing applies the same discipline). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        minJaccard: Double): DataFrame = {
+                        minJaccard: Double, dfCap: Int = 1000): DataFrame = {
     val sets = docs.select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
       .withColumn("n", size(col("sh")))
       .filter(col("n") > 0)
-    val inv = sets.select(col("id"), col("n"), explode(col("sh")).as("shingle"))
-    val shared = inv.as("a").join(inv.as("b"),
+    val inv = sets.select(col("id"), explode(col("sh")).as("shingle"))
+    // hot set is small by construction (few shingles exceed dfCap docs)
+    // → broadcastable at any corpus size; the rare set is most of the
+    // vocabulary and must never be the broadcast side.
+    val hot = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select("shingle")
+    val rinv = inv.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val cand = rinv.as("a").join(rinv.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("shared"),
-        first(col("a.n")).as("n_a"), first(col("b.n")).as("n_b"))
-    shared
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"), col("n").as("n_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b"), col("n").as("n_b")), "id_b")
+      .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         col("shared").cast("double") /
           (col("n_a") + col("n_b") - col("shared")).cast("double"))
@@ -66,9 +84,15 @@ object Dedup {
                    k: Int = 64, bands: Int = 16, minEstJaccard: Double = 0.5): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val r = k / bands
+    // Docs with <3 words emit no shingles, leaving the all-sentinel
+    // signature [Long.MaxValue, …] — every such pair would collide in
+    // every band with est_jaccard 1.0 even for unrelated texts. Drop
+    // them: array_min(sig) == MaxValue ⇔ every element is the sentinel
+    // (a real shingle minimum below MaxValue in all k permutations).
     val sig = docs.select(
-      col(idCol).as("id"),
-      call_function("graft_minhash", col(textCol)).as("sig"))
+        col(idCol).as("id"),
+        call_function("graft_minhash", col(textCol)).as("sig"))
+      .filter(array_min(col("sig")) =!= lit(Long.MaxValue))
     val banded = sig.select(
       col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),

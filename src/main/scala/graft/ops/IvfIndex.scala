@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -8,70 +8,121 @@ import org.apache.spark.sql.functions._
   * nearest neighbor (the brief's "IVF or LSH-bucketed" scale path —
   * LSH lives in Similarity.lshTopK; this is the IVF flavor).
   *
-  * Training: Lloyd's iterations expressed as DataFrame aggregations —
-  * assign (one broadcast join + argmin) then re-center (one groupBy) —
-  * so it scales to any corpus: per iteration exactly one shuffle of
-  * (cluster, vector-sum) partial aggregates. Centroid init is
+  * Scale shape (round-2 rewrite): centroids are always tiny (k rows),
+  * so they live as a plan LITERAL — assignment is a row-local argmin
+  * over a centroid-array constant: ZERO shuffle, ZERO row blowup
+  * (the round-1 crossJoin+window shape multiplied the corpus ×k and
+  * shuffled the multiplied set just to take an argmin).
+  *
+  * Training follows the MLlib KMeans discipline: per Lloyd iteration,
+  * partial (count, vector-sum) accumulators per partition, collected
+  * to the driver (k × partitions tiny rows — a provably-small collect,
+  * like MLlib's collectAsMap) and averaged there. Centroid init is
   * deterministic (first k vectors by id — k-means|| would be the
   * production choice; init quality is not the point here).
   *
-  * Query: probe the `nprobe` nearest centroids, score only those
-  * inverted lists.
+  * Query: probe the `nprobe` nearest centroids (row-local, same
+  * literal), score only those inverted lists.
   */
 object IvfIndex {
 
-  /** One Lloyd assign step: nearest centroid id per row.
-    * `centroids`: (cluster INT, centroid ARRAY<DOUBLE>) — broadcast. */
-  private def assign(emb: DataFrame, centroids: DataFrame): DataFrame = {
-    val scored = emb.crossJoin(broadcast(centroids))
-      .withColumn("dist",
-        aggregate(zip_with(col("embedding"), col("centroid"),
-          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-          lit(0.0), (a, x) => a + x))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cluster"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .drop("rn", "dist", "centroid")
+  /** Centroid set as plain driver-side arrays, ordered by cluster id. */
+  final case class Centroids(cents: Array[Array[Double]]) {
+    def k: Int = cents.length
+    /** Literal ARRAY<ARRAY<DOUBLE>> column, index = cluster id. */
+    def asLiteral: Column = array(cents.map(c => array(c.map(lit): _*)): _*)
   }
 
-  /** Train k centroids with `iters` Lloyd iterations. Returns
-    * (cluster, centroid) — small enough to broadcast at any corpus
-    * size (k vectors). */
-  def train(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+  /** Squared-L2 distances to every centroid as ARRAY<DOUBLE> (index =
+    * cluster id) — evaluated row-locally against the literal. */
+  private def dists(vec: Column, cents: Centroids): Column =
+    transform(cents.asLiteral, c =>
+      aggregate(zip_with(vec, c, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (a, x) => a + x))
+
+  /** Nearest-centroid id per row, shuffle-free. Tie-break: lowest
+    * cluster id (array_position returns the first match), matching the
+    * orderBy(dist, cluster) semantics of the join formulation. */
+  def assign(emb: DataFrame, cents: Centroids): DataFrame =
+    emb.withColumn("d__", dists(col("embedding"), cents))
+      .withColumn("cluster",
+        (array_position(col("d__"), array_min(col("d__"))) - 1).cast("int"))
+      .drop("d__")
+
+  /** Train k centroids with `iters` Lloyd iterations. Re-centering
+    * aggregates (count, element-wise sum) per partition and merges the
+    * k×partitions partials on the driver — one narrow pass per
+    * iteration, no posexplode (the round-1 shape shuffled dim× the
+    * data volume), no wide shuffle at all. */
+  def train(emb: DataFrame, k: Int, iters: Int): Centroids = {
     val spark = emb.sparkSession
-    var centroids = emb.orderBy("vec_id").limit(k)
-      .select((row_number().over(Window.orderBy("vec_id")) - 1).as("cluster"),
-        transform(col("embedding"), x => x.cast("double")).as("centroid"))
-    var i = 0
-    while (i < iters) {
-      val assigned = assign(emb, centroids)
-      // re-center: element-wise mean per cluster via posexplode + agg
-      val sums = assigned
-        .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "v")))
-        .groupBy(col("cluster"), col("dim"))
-        .agg(avg(col("v").cast("double")).as("m"))
-      centroids = sums.groupBy(col("cluster"))
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
-          x => x.getField("m")).as("centroid"))
-      i += 1
+    import spark.implicits._
+    val init = emb.orderBy("vec_id").limit(k)
+      .select(transform(col("embedding"), x => x.cast("double")).as("c"))
+      .as[Array[Double]].collect()
+    var cents = Centroids(init)
+    var it = 0
+    while (it < iters) {
+      val partials = assign(emb, cents)
+        .select(col("cluster"), col("embedding")).as[(Int, Array[Float])]
+        .mapPartitions { rows =>
+          val acc = new java.util.HashMap[Int, (Long, Array[Double])]()
+          rows.foreach { case (c, v) =>
+            val e = acc.get(c)
+            if (e == null) {
+              val s = new Array[Double](v.length)
+              var i = 0; while (i < v.length) { s(i) = v(i).toDouble; i += 1 }
+              acc.put(c, (1L, s))
+            } else {
+              val (n, s) = e
+              var i = 0; while (i < v.length) { s(i) += v(i).toDouble; i += 1 }
+              acc.put(c, (n + 1L, s))
+            }
+          }
+          import scala.jdk.CollectionConverters._
+          acc.entrySet().iterator().asScala.map(e =>
+            (e.getKey, e.getValue._1, e.getValue._2))
+        }
+        .collect() // k × partitions rows — provably small
+      val merged = new Array[(Long, Array[Double])](cents.k)
+      partials.foreach { case (c, n, s) =>
+        val cur = merged(c)
+        if (cur == null) merged(c) = (n, s.clone())
+        else {
+          var i = 0; while (i < s.length) { cur._2(i) += s(i); i += 1 }
+          merged(c) = (cur._1 + n, cur._2)
+        }
+      }
+      val next = cents.cents.indices.map { c =>
+        merged(c) match {
+          case null => cents.cents(c) // empty cluster keeps its centroid
+          case (n, s) => s.map(_ / n)
+        }
+      }.toArray
+      cents = Centroids(next)
+      it += 1
     }
-    centroids
+    cents
   }
 
   /** Top-k cosine neighbors probing the `nprobe` nearest inverted
-    * lists per query. */
-  def topK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+    * lists per query. Corpus assignment and query probing are both
+    * row-local against the centroid literal; the only shuffles are the
+    * broadcast-join candidate scoring and the per-query rank over the
+    * (nprobe/k-thinned) candidate set. */
+  def topK(corpus: DataFrame, queries: DataFrame, cents: Centroids,
            k: Int, nprobe: Int): DataFrame = {
-    val lists = assign(corpus, centroids) // (vec_id, embedding, cluster)
-    val qprobe = {
-      val scored = queries.crossJoin(broadcast(centroids))
-        .withColumn("dist",
-          aggregate(zip_with(col("embedding"), col("centroid"),
-            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-            lit(0.0), (a, x) => a + x))
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cluster"))
-      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= nprobe)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qemb"), col("cluster"))
-    }
+    val lists = assign(corpus, cents) // (vec_id, embedding, cluster) — no shuffle
+    val qprobe = queries
+      .withColumn("d__", dists(col("embedding"), cents))
+      // nprobe smallest distances; array_sort on struct(dist, cluster)
+      // orders by dist with lowest-cluster tie-break
+      .withColumn("probe", slice(transform(
+        array_sort(zip_with(col("d__"), sequence(lit(0), lit(cents.k - 1)),
+          (d, i) => struct(d.as("d"), i.as("i")))),
+        x => x.getField("i")), 1, nprobe))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qemb"),
+        explode(col("probe")).as("cluster"))
     val scored = lists.join(broadcast(qprobe), Seq("cluster"))
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("cosine", Similarity.cosine(col("qemb"), col("embedding")))

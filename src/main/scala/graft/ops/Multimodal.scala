@@ -28,19 +28,23 @@ object Multimodal {
 
   val Kinds = Array("image", "audio", "video")
 
-  /** Deterministic fake media generator (seeded like PageGen). */
+  /** Deterministic fake media generator. Header fields are simple
+    * modular arithmetic of the id (NOT a PRNG) so the decoded metadata
+    * is independently recomputable by the driver's DuckDB oracle —
+    * m1/m2 are hash-compared end to end, not rows-only. Every 50th+7
+    * row gets a corrupted magic, planting the error-as-row path. */
   def gen(spark: SparkSession, n: Long): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(0L, n).map { id =>
-      val r = new java.util.Random(0x6d6dL + id * 0x9E3779B97F4A7C15L)
       val kind = Kinds((id % 3).toInt)
-      val w = 16 + r.nextInt(512)
-      val h = 16 + r.nextInt(512)
-      val frames = if (kind == "video") 1 + r.nextInt(240) else 1
-      val body = new Array[Byte](64 + r.nextInt(192))
-      r.nextBytes(body)
+      val w = (16 + (id * 37) % 512).toInt
+      val h = (16 + (id * 73) % 512).toInt
+      val frames = if (kind == "video") (1 + (id * 91) % 240).toInt else 1
+      val bodyLen = (64 + (id * 29) % 192).toInt
+      val body = Array.tabulate[Byte](bodyLen)(i => ((id * 131 + i * 7) % 256).toByte)
+      val magic = if (id % 50 == 7) "GMMX" else "GMM0" // planted bad rows
       val bb = java.nio.ByteBuffer.allocate(4 + 1 + 12 + body.length)
-      bb.put("GMM0".getBytes("US-ASCII")).put(kind.charAt(0).toByte)
+      bb.put(magic.getBytes("US-ASCII")).put(kind.charAt(0).toByte)
         .putInt(w).putInt(h).putInt(frames).put(body)
       MediaRow(id, kind, bb.array())
     }

@@ -47,10 +47,12 @@ object OpsQueries {
         .select(col("keep_id"), col("dup_cnt"))
         .orderBy("keep_id")
     }),
-    // exact n-gram Jaccard over inverted shingle index
+    // exact n-gram Jaccard over inverted shingle index with a df-cap
+    // on stop shingles (dfCap=50 mirrors t4's winnowing discipline and
+    // is mirrored shingle-for-shingle in the DuckDB oracle)
     "d2_ngram_jaccard" -> ((s, dir) => {
       GraftSession.register(s)
-      Dedup.ngramJaccardPairs(docsWithNearDups(s, dir), "doc_id", "text", 0.6)
+      Dedup.ngramJaccardPairs(docsWithNearDups(s, dir), "doc_id", "text", 0.6, dfCap = 50)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("id_a", "id_b")
     }),
@@ -104,6 +106,22 @@ object OpsQueries {
           col("lang").as("lang_true"))
         .orderBy("url")
     }),
+    // langid expression over DuckDB-visible input: Latin / Arabic /
+    // mixed inputs constructed deterministically from the documents
+    // table (translate to the Arabic block), so the driver's oracle
+    // independently recomputes the script-ratio heuristic — t1 (over
+    // generated pages) stays rows-only, this twin is hash-attested
+    "t1b_langid_docs" -> ((s, dir) => {
+      GraftSession.register(s)
+      val arabic = translate(col("text"),
+        "abcdefghijklmnopqrstuvwxyz", "ابتثجحخدذرزسشصضطظعغفقكلمنه")
+      val input = when(col("doc_id") % 3 === 0, col("text"))
+        .when(col("doc_id") % 3 === 1, arabic)
+        .otherwise(concat(col("text"), lit(" "), arabic))
+      t(s, dir, "documents")
+        .select(col("doc_id"), call_function("graft_langid", input).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
     // quality scoring: length/word/stopword/punct features (oracle)
     "t2_quality" -> ((s, dir) => {
       val words = split(trim(col("text")), " ")
@@ -136,9 +154,12 @@ object OpsQueries {
       GraftSession.register(s)
       val fp = docsWithNearDups(s, dir).select(col("doc_id"),
         explode(call_function("graft_fingerprint", col("text"))).as("fp"))
-      val rare = fp.groupBy("fp").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= 50).select("fp")
-      val fpr = fp.join(broadcast(rare), Seq("fp"))
+      // broadcast the HOT side (small by construction) and anti-join:
+      // the rare set is most of the vocabulary and can never be the
+      // broadcast side at corpus scale (same discipline as d2's dfCap)
+      val hot = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") > 50).select("fp")
+      val fpr = fp.join(broadcast(hot), Seq("fp"), "left_anti")
       fpr.as("a").join(fpr.as("b"),
           col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -231,5 +252,86 @@ object OpsQueries {
       """SELECT doc_id,
         | len(regexp_split_to_array(TRIM(text), '\s+')) AS ws_tokens,
         | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpeish_tokens
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // exact mirror of ngramJaccardPairs(dfCap=50): rare-shingle
+    // candidate generation, exact jaccard on the full distinct sets
+    "d2_ngram_jaccard" ->
+      """WITH docs AS (
+        | SELECT doc_id, text FROM documents
+        | UNION ALL
+        | SELECT doc_id + 100000 AS doc_id, text || ' zz qq xx' AS text
+        | FROM documents WHERE doc_id % 5 = 0),
+        |w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM docs),
+        |sets AS (
+        | SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+        |   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        | FROM w WHERE len(w) >= 3),
+        |inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sets),
+        |hot AS (SELECT shingle FROM inv GROUP BY shingle HAVING COUNT(*) > 50),
+        |rinv AS (SELECT * FROM inv WHERE shingle NOT IN (SELECT shingle FROM hot)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM rinv a JOIN rinv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+        |scored AS (
+        | SELECT id_a, id_b, len(list_intersect(sa.sh, sb.sh)) AS shared,
+        |        len(sa.sh) AS n_a, len(sb.sh) AS n_b
+        | FROM cand JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b)
+        |SELECT id_a, id_b,
+        | ROUND(shared::DOUBLE / (n_a + n_b - shared)::DOUBLE, 6) AS jaccard
+        |FROM scored WHERE shared::DOUBLE / (n_a + n_b - shared)::DOUBLE >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin,
+    "t5_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |tri AS (
+        | SELECT doc_id,
+        |  CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w)-1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END AS sh_all
+        | FROM w),
+        |m AS (
+        | SELECT doc_id, len(sh_all) AS n_trigrams,
+        |  len(list_distinct(sh_all)) AS n_distinct,
+        |  CASE WHEN len(sh_all) > 0
+        |    THEN ROUND(len(list_distinct(sh_all))::DOUBLE / len(sh_all)::DOUBLE, 6)
+        |    ELSE 1.0 END AS distinct_ratio
+        | FROM tri)
+        |SELECT doc_id, n_trigrams, n_distinct, distinct_ratio,
+        | distinct_ratio < 0.5 AS repetitive
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "t1b_langid_docs" ->
+      """WITH inp AS (
+        | SELECT d.doc_id,
+        |  CASE WHEN d.doc_id % 3 = 0 THEN d.text
+        |       WHEN d.doc_id % 3 = 1
+        |       THEN translate(d.text, 'abcdefghijklmnopqrstuvwxyz', 'ابتثجحخدذرزسشصضطظعغفقكلمنه')
+        |       ELSE d.text || ' ' ||
+        |            translate(d.text, 'abcdefghijklmnopqrstuvwxyz', 'ابتثجحخدذرزسشصضطظعغفقكلمنه')
+        |  END AS x
+        | FROM documents d),
+        |cnt AS (
+        | SELECT doc_id,
+        |  len(x) - len(regexp_replace(x, '[\x{0600}-\x{06FF}\x{0750}-\x{077F}]', '', 'g')) AS ar,
+        |  len(x) - len(regexp_replace(x, '[A-Za-z]', '', 'g')) AS lat
+        | FROM inp)
+        |SELECT doc_id,
+        | CASE WHEN ar + lat = 0 THEN 'und'
+        |      WHEN ar * 10 >= (ar + lat) * 7 THEN 'ar'
+        |      WHEN ar * 20 >= (ar + lat) AND lat * 20 >= (ar + lat) THEN 'mixed'
+        |      WHEN ar > lat THEN 'ar'
+        |      ELSE 'en' END AS lang_pred
+        |FROM cnt ORDER BY doc_id""".stripMargin,
+    "m1_media_features" ->
+      """SELECT media_id,
+        | CASE media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        | CASE WHEN media_id % 50 = 7 THEN -1 ELSE 16 + (media_id * 37) % 512 END AS width,
+        | CASE WHEN media_id % 50 = 7 THEN -1 ELSE 16 + (media_id * 73) % 512 END AS height,
+        | CASE WHEN media_id % 50 = 7 THEN -1
+        |      WHEN media_id % 3 = 2 THEN 1 + (media_id * 91) % 240 ELSE 1 END AS n_frames,
+        | CASE WHEN media_id % 50 = 7 THEN 0 ELSE 8 END AS feat_dim,
+        | CASE WHEN media_id % 50 = 7 THEN 'bad magic' ELSE NULL END AS decode_error
+        |FROM range(0, 300) t(media_id) ORDER BY media_id""".stripMargin,
+    "m2_frame_sample" ->
+      """SELECT media_id, frame_idx FROM (
+        | SELECT media_id, unnest(range(0, 1 + (media_id * 91) % 240, 24)) AS frame_idx
+        | FROM range(0, 300) t(media_id)
+        | WHERE media_id % 3 = 2 AND media_id % 50 <> 7)
+        |ORDER BY media_id, frame_idx""".stripMargin)
 }

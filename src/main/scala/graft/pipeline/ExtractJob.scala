@@ -30,7 +30,7 @@ object ExtractJob {
       abortAfterGroup: Int = -1): Result = {
     GraftSession.register(spark)
     val pages = ExtractPipeline.pages(spark, nDocs).toDF()
-    val hot = ExtractPipeline.hotHosts(pages, math.min(nDocs, 2000L), 0.05)
+    val hot = ExtractPipeline.hotHosts(pages, math.min(nDocs, 2000L), 0.05, totalHint = nDocs)
     val out = ExtractPipeline.withBucket(
       ExtractPipeline.extracted(pages), buckets, hot, salts)
       // one exchange: co-locate by (bucket, salt) so a hot host's rows

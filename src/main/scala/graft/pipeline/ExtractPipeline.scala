@@ -72,12 +72,23 @@ object ExtractPipeline {
           .otherwise(lit(0)))
   }
 
-  /** Cheap hot-host pre-pass on a deterministic sample: hosts holding
+  /** Cheap hot-host pre-pass on a seeded random sample: hosts holding
     * more than `threshold` of sampled rows are salted (SURVEY.md §7.4
-    * — broadcastable small set, computed once per job). */
-  def hotHosts(pages: DataFrame, sampleN: Long, threshold: Double): Seq[String] = {
+    * — broadcastable small set, computed once per job).
+    *
+    * `sample(fraction)` — NOT `limit(n)`: limit takes the FIRST n rows,
+    * which at cluster scale is one partition of one file, silently
+    * degrading detection to "hosts hot in the first split". A seeded
+    * Bernoulli sample sees every partition. `sampleN` is the target
+    * sample size used to derive the fraction from a countable upper
+    * bound supplied by the caller (or a cheap count). */
+  def hotHosts(pages: DataFrame, sampleN: Long, threshold: Double,
+               totalHint: Long = -1L): Seq[String] = {
     val host = regexp_extract(col("url"), "^https?://([^/]+)/", 1)
-    val sampled = pages.select(host.as("host")).limit(sampleN.toInt)
+    val totalRows = if (totalHint > 0) totalHint else pages.count()
+    val fraction = math.min(1.0, sampleN.toDouble / math.max(1L, totalRows).toDouble)
+    val sampled = pages.sample(withReplacement = false, fraction, seed = 42L)
+      .select(host.as("host"))
     val counts = sampled.groupBy("host").count()
     val total = math.max(1L, sampled.count())
     counts.filter(col("count") > lit(threshold * total))

@@ -147,11 +147,15 @@ class OpsSpec extends AnyFunSuite {
     val feats = Multimodal.features(Multimodal.gen(spark, 300))
     val rows = feats.collect()
     assert(rows.length == 300)
-    assert(rows.forall(_.decode_error == null))
-    assert(rows.forall(r => r.width >= 16 && r.height >= 16 && r.feature.length == 8))
+    // gen plants a corrupted magic every 50th+7 row (error-as-row path,
+    // DuckDB-oracled in m1); everything else decodes cleanly
+    val (bad50, good) = rows.partition(_.media_id % 50 == 7)
+    assert(bad50.nonEmpty && bad50.forall(_.decode_error == "bad magic"))
+    assert(good.forall(_.decode_error == null))
+    assert(good.forall(r => r.width >= 16 && r.height >= 16 && r.feature.length == 8))
     val frames = Multimodal.frameSample(feats.toDF(), 24).collect()
     assert(frames.nonEmpty)
-    val videos = rows.filter(_.kind == "video")
+    val videos = good.filter(_.kind == "video")
     val expected = videos.map(v => (v.n_frames + 23) / 24).sum
     assert(frames.length == expected, s"frame count ${frames.length} vs $expected")
     // corrupted payload → error row, not task failure
