@@ -332,6 +332,23 @@ object Queries {
         .select(col("event_id"), col("user_id"), col("dim_value"))
         .orderBy("event_id")
     }),
+    // as-of join, second shape: DENSE dim side (clicks — many state
+    // changes per user between facts) and a multi-column dim payload,
+    // exercising the multi-fill path of AsOfJoin (verdict r1 #10: the
+    // operator rested on a single data shape)
+    "q20b_asof_dense" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val fact = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val dim = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts").as("dim_ts"))
+        .agg(max(col("value")).as("value"), count(lit(1)).as("n_at_ts"))
+      graft.ops.AsOfJoin.latestBefore(fact, dim, "user_id", "ts", "dim_ts",
+          Seq("value", "n_at_ts"))
+        .select(col("event_id"), col("user_id"),
+          col("dim_value"), col("dim_n_at_ts"))
+        .orderBy("event_id")
+    }),
     // batch sessionization: gap>30min starts a new session (window
     // running-sum of boundary flags — the streaming sessionize's
     // batch twin, fully SQL-expressible for the oracle)
@@ -470,6 +487,16 @@ object Queries {
         |  SELECT user_id, ts AS dim_ts, MAX(value) AS value
         |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
         |SELECT f.event_id, f.user_id, d.value AS dim_value
+        |FROM fact f ASOF LEFT JOIN dim d
+        |  ON f.user_id = d.user_id AND f.ts >= d.dim_ts
+        |ORDER BY f.event_id""".stripMargin,
+    "q20b_asof_dense" ->
+      """WITH fact AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |dim AS (
+        |  SELECT user_id, ts AS dim_ts, MAX(value) AS value, COUNT(*) AS n_at_ts
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT f.event_id, f.user_id, d.value AS dim_value, d.n_at_ts AS dim_n_at_ts
         |FROM fact f ASOF LEFT JOIN dim d
         |  ON f.user_id = d.user_id AND f.ts >= d.dim_ts
         |ORDER BY f.event_id""".stripMargin,

@@ -19,6 +19,18 @@ object ExtractJob {
 
   final case class Result(snapshotId: Long, docs: Long, errorRows: Long)
 
+  /** Job-group id for a commit — the cooperative-cancel handle
+    * (reference: OCRWorker._cancelled checked per page,
+    * main_window.py:312,348-350; our granularity is the Spark job,
+    * with `interruptOnCancel` reaching into running tasks). */
+  def jobGroup(commitId: String): String = s"graft-commit-$commitId"
+
+  /** Cooperatively cancel a running commit. Completed resume groups
+    * keep their checkpoint markers; a re-run with the same commitId
+    * finishes only the remaining groups (IceTableSpec / CancelSpec). */
+  def cancel(spark: SparkSession, commitId: String): Unit =
+    spark.sparkContext.cancelJobGroup(jobGroup(commitId))
+
   def run(
       spark: SparkSession,
       root: String,
@@ -49,6 +61,11 @@ object ExtractJob {
     val table = new IceTable(root, spark)
     val metrics = new JobMetrics(spark, s"extract-$commitId")
     metrics.logEvent(root, s"job_start docs=$nDocs buckets=$buckets groups=$groups hot_hosts=${hot.size}")
+    // all commit jobs run under a cancellable group (ST2): cancel(…)
+    // interrupts in-flight tasks; finished groups' markers survive, so
+    // the same commitId resumes from the checkpoint
+    spark.sparkContext.setJobGroup(jobGroup(commitId),
+      s"graft commit $commitId", interruptOnCancel = true)
     val snap =
       try table.commit(staged, commitId, groups, abortAfterGroup)
       catch {
@@ -56,7 +73,10 @@ object ExtractJob {
           metrics.logEvent(root, s"job_failed error=${e.getClass.getSimpleName}")
           metrics.close()
           throw e
-      } finally { if (groups > 1) staged.unpersist() }
+      } finally {
+        spark.sparkContext.clearJobGroup()
+        if (groups > 1) staged.unpersist()
+      }
     val lin = table.lineage(Some(snap))
       .agg(sum("rows").as("rows"), sum("error_rows").as("errs")).collect()(0)
     metrics.rowsProcessed.add(lin.getLong(0))

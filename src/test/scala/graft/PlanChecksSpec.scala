@@ -58,6 +58,32 @@ class PlanChecksSpec extends AnyFunSuite {
       "query side must be broadcast for the corpus scan")
   }
 
+  test("as-of join is ONE hash shuffle regardless of side sizes") {
+    import org.apache.spark.sql.functions._
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val fact = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val dim = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("dim_ts"), col("value"))
+    val joined = graft.ops.AsOfJoin.latestBefore(
+      fact, dim, "user_id", "ts", "dim_ts", Seq("value"))
+    val p = joined.queryExecution.executedPlan.toString
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1,
+      s"as-of join must shuffle exactly once (saw $hashExchanges):\n${p.take(1200)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("IVF centroid assignment is shuffle-free (literal-array argmin)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = graft.ops.IvfIndex.train(emb, k = 4, iters = 1)
+    val p = graft.ops.IvfIndex.assign(emb, cents)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"assign must be a row-local projection over the scan:\n${p.take(1200)}")
+    assert(!p.contains("Join"), "assign must not join")
+  }
+
   test("whole-stage codegen covers the relational battery") {
     // codegen stages print as "*(n)"; AQE shows them only in the final
     // executed plan, so run the query first
