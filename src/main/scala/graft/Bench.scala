@@ -49,10 +49,12 @@ object Bench {
     // warmup: JIT + codegen for the whole scan→extract path
     extractRun(spark.read.parquet(stage).limit(20000))
 
-    // extraction throughput: median of 3 (this host shows bursty CPU
-    // steal — medians keep round-over-round numbers comparable)
-    val reps = (1 to 3).map(_ => timed(extractRun(spark.read.parquet(stage))))
-    val tExtract = reps.sorted.apply(1)
+    // extraction throughput: median of 5 (this host shows bursty CPU
+    // steal — round-1 driver capture hit a steal window and read 27×
+    // low; the min is reported alongside so a stolen median is visible)
+    val reps = (1 to 5).map(_ => timed(extractRun(spark.read.parquet(stage))))
+    val tExtract = reps.sorted.apply(reps.length / 2)
+    val tExtractMin = reps.min
 
     // full pipeline: extract + bucket/salt + IceTable commit w/ lineage
     val benchRoot = java.nio.file.Files.createTempDirectory("graft-bench-table").toString
@@ -73,13 +75,29 @@ object Bench {
       }
     }
 
+    // N-vs-4N scaling pair (BASELINE.json target): 1 vs 4 pinned
+    // executor-JVMs (own heap+GC each) over the same staged input —
+    // the honest sandbox stand-in for 1 vs 4 cluster executors
+    // (ScalePair scaladoc). SPARK_GRAFT_SCALE=0 skips.
+    val scale =
+      if (sys.env.getOrElse("SPARK_GRAFT_SCALE", "1") == "1")
+        try Some(ScalePair.run(stage, cores = 8, reps = 3))
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] scale pair failed: ${e.getMessage}"); None
+        }
+      else None
+
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.values.sum
     val docsPerSec = nDocs / tExtract
+    val docsPerSecBest = nDocs / tExtractMin
     val commitDocsPerSec = nDocs / tCommit
+    val scaleJson = scale.map(r =>
+      f""","scale_n_docs_per_sec":${r.nDocsPerSec}%.1f,"scale_4n_docs_per_sec":${r.n4DocsPerSec}%.1f,"scaling_efficiency":${r.efficiency}%.3f,"scaling_efficiency_strong":${r.strongEfficiency}%.3f,"scale_checksum_match":${r.checksumMatch}""")
+      .getOrElse("")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"bench_docs":$nDocs,"extract_docs_per_sec":$docsPerSec%.1f,"commit_docs_per_sec":$commitDocsPerSec%.1f}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"bench_docs":$nDocs,"extract_docs_per_sec":$docsPerSec%.1f,"extract_docs_per_sec_best":$docsPerSecBest%.1f,"commit_docs_per_sec":$commitDocsPerSec%.1f$scaleJson}""")
     spark.stop()
   }
 }

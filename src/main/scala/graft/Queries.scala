@@ -118,6 +118,29 @@ object Queries {
           size(col("r.spans")).as("n_spans"), col("r.error").as("error"))
         .orderBy("doc_id")
     }),
+    // span OFFSETS end-to-end: same template as x6, spans exploded —
+    // the oracle recomputes every (start, end, kind) from first
+    // principles (header length + heading length + block layout), so
+    // the span-offset contract is driver-attested, not just
+    // golden-attested (x2 covers generated pages rows-only)
+    "x9_spans_roundtrip" -> ((s, dir) => {
+      GraftSession.register(s)
+      val html = concat(
+        lit("<html><head><title>t</title></head><body>" +
+          "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a></nav><h1>Title "),
+        col("doc_id"),
+        lit("</h1><p>"), col("text"),
+        lit("</p><footer>Copyright <a href=\"#\">here</a> <a href=\"#\">there</a></footer>" +
+          "</body></html>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          call_function("graft_extract", encode(html, "UTF-8"), col("lang")).as("r"))
+        .select(col("doc_id"), posexplode(col("r.spans")).as(Seq("span_idx", "span")))
+        .select(col("doc_id"), col("span_idx"),
+          col("span.start").as("start"), col("span.end").as("end"),
+          col("span.kind").as("kind"))
+        .orderBy("doc_id", "span_idx")
+    }),
     // dual-engine extraction ("كلاهما"): default + alt classifier over
     // the same token stream, per-part concat with the reference's
     // no-separator format (main_window.py:363-374). The alt engine's
@@ -543,6 +566,21 @@ object Queries {
         | CASE WHEN d.doc_id % 10 = 0 THEN 'حدث خطأ: invalid utf-8 payload'
         |      ELSE NULL END AS error
         |FROM documents d ORDER BY d.doc_id""".stripMargin,
+    // span offsets recomputed from first principles: header+\n, then
+    // heading chars, then \n, then the body block
+    "x9_spans_roundtrip" ->
+      """WITH base AS (
+        | SELECT d.doc_id, d.text AS t,
+        |   len('--- صفحة 1 ---') + 1 AS h,
+        |   len('Title ' || d.doc_id) AS hl
+        | FROM documents d
+        | WHERE len(string_split(trim(d.text), ' ')) >= 15)
+        |SELECT doc_id, 0 AS span_idx, h AS start, h + hl AS "end",
+        |       'heading' AS kind FROM base
+        |UNION ALL
+        |SELECT doc_id, 1 AS span_idx, h + hl + 1 AS start,
+        |       h + hl + 1 + len(t) AS "end", 'content' AS kind FROM base
+        |ORDER BY doc_id, span_idx""".stripMargin,
     // dual-engine: ≥15 words → both engines keep (heading+body twice,
     // engine outputs concatenated with NO separator); 8-14 words →
     // alt engine only; <8 → empty

@@ -19,6 +19,10 @@ import graft.html.{Boilerplate, FusedSegmenter}
   * blocks with their classifier features and the keep decision, so the
   * region-extract stage is inspectable/aggregable in SQL.
   *
+  * PDF payloads (`%PDF` magic) explode to one content block per page
+  * (mirroring Extractor.extractPdf: page lines joined "\n", blank
+  * pages skipped, every page kept — PDFs have no classifier stage),
+  * so the block view covers every payload type the extractor does.
   * Malformed payloads yield zero rows (the row-level error policy
   * lives in graft_extract; a generator cannot carry an error column
   * per input row without emitting phantom rows).
@@ -45,6 +49,21 @@ case class ExplodeBlocks(child: Expression)
     val payload = child.eval(input)
     if (payload == null) return Nil
     val bytes = payload.asInstanceOf[Array[Byte]]
+    if (bytes.length >= 4 && bytes(0) == '%' && bytes(1) == 'P' &&
+        bytes(2) == 'D' && bytes(3) == 'F') {
+      val pages =
+        try graft.pdf.PdfSpans.parsePages(bytes)
+        catch { case _: Exception => return Nil } // error rows live in graft_extract
+      return pages.zipWithIndex.collect {
+        case (lines, i) if lines.exists(_.nonEmpty) =>
+          val txt = lines.map(graft.html.BlockSegmenter.normalize).mkString("\n")
+          (i + 1, txt)
+      }.zipWithIndex.map { case ((part, txt), idx) =>
+        InternalRow(part, idx, UTF8String.fromString("content"),
+          UTF8String.fromString(txt),
+          graft.html.BlockSegmenter.countWords(txt), 0, true)
+      }
+    }
     Extractor.decodeUtf8(bytes) match {
       case Some(s) if Extractor.looksHtml(s) =>
         val blocks = FusedSegmenter.segment(s)

@@ -107,6 +107,34 @@ object Assemble {
     finish(sb.toString, spans)
   }
 
+  /** Assemble straight from the range-based segmentation (hot path):
+    * block text is copied buffer→buffer (`append(CharSequence,from,to)`)
+    * with no per-block String materialization. Byte-identical to
+    * `fromBlocks(classify(...))` — blocks arrive in document order
+    * with non-decreasing part ids, so the groupBy+sort of the Block
+    * path is a plain linear scan here. */
+  def fromRaw(rb: graft.html.FusedSegmenter.RawBlocks,
+              keep: Array[Boolean]): (String, Seq[Span]) = {
+    val sb = new java.lang.StringBuilder(512)
+    val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
+    var curPart = -1
+    var i = 0
+    while (i < rb.n) {
+      if (keep(i)) {
+        if (rb.parts(i) != curPart) {
+          if (curPart != -1) sb.append("\n\n")
+          curPart = rb.parts(i)
+          sb.append(header(curPart)).append('\n')
+        } else sb.append('\n')
+        val start = sb.length
+        sb.append(rb.buf, rb.starts(i), rb.ends(i))
+        spans += ((start, sb.length, rb.kindName(i)))
+      }
+      i += 1
+    }
+    finish(sb.toString, spans)
+  }
+
   /** Group classified blocks by part and assemble. */
   def fromBlocks(blocks: Seq[BlockSegmenter.Block]): (String, Seq[Span]) = {
     val parts = blocks.groupBy(_.part).toSeq.sortBy(_._1).map { case (idx, bs) =>

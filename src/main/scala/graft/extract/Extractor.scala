@@ -108,17 +108,20 @@ object Extractor {
     // ONCE for any engine choice; only classification differs (the
     // reference re-OCRs per engine because its engines are external
     // binaries — ours share the token stream).
-    val blocks = graft.html.FusedSegmenter.segment(html)
     engine match {
       case Engine.Default =>
-        val kept = Boilerplate.classify(blocks)
-        val (text, spans) = Assemble.fromBlocks(kept)
+        // allocation-light raw path (shared doc buffer, range blocks)
+        val rb = graft.html.FusedSegmenter.segmentRaw(html)
+        val keep = Boilerplate.classifyRaw(rb, Boilerplate.Default)
+        val (text, spans) = Assemble.fromRaw(rb, keep)
         ExtractResult(text, spans, null)
       case Engine.Alt =>
-        val kept = Boilerplate.classify(blocks, Boilerplate.Alt)
-        val (text, spans) = Assemble.fromBlocks(kept)
+        val rb = graft.html.FusedSegmenter.segmentRaw(html)
+        val keep = Boilerplate.classifyRaw(rb, Boilerplate.Alt)
+        val (text, spans) = Assemble.fromRaw(rb, keep)
         ExtractResult(text, spans, null)
       case Engine.Both =>
+        val blocks = graft.html.FusedSegmenter.segment(html)
         val keptA = Boilerplate.classify(blocks, Boilerplate.Default)
         val keptB = Boilerplate.classify(blocks, Boilerplate.Alt)
         val (text, spans) = Assemble.fromBlocksDual(keptA, keptB)

@@ -1,5 +1,7 @@
 package graft.html
 
+import scala.collection.mutable.ArrayBuffer
+
 import BlockSegmenter.Block
 
 /** Block-level boilerplate classifier — text-density / link-density
@@ -64,19 +66,50 @@ object Boilerplate {
     classify(blocks, Default)
 
   /** Keep decision over a whole document's blocks (all parts jointly).
-    * Returns kept blocks in original order. Index-based single-pass
-    * implementation (hot loop: no intermediate collections). */
+    * Returns kept blocks in original order. Thin adapter over
+    * `classifyCore` (ONE decision implementation for both the Block
+    * view and the allocation-light raw hot path). */
   def classify(blocks: IndexedSeq[Block], p: Params): IndexedSeq[Block] = {
     val n = blocks.length
+    val parts = new Array[Int](n)
+    val kindIds = new Array[Int](n)
+    val words = new Array[Int](n)
+    val linkWords = new Array[Int](n)
+    val boiler = new Array[Boolean](n)
+    var i = 0
+    while (i < n) {
+      val b = blocks(i)
+      parts(i) = b.part
+      kindIds(i) = if (b.kind == "heading") 1 else if (b.kind == "list") 2 else 0
+      words(i) = b.words; linkWords(i) = b.linkWords; boiler(i) = b.boiler
+      i += 1
+    }
+    val keep = classifyCore(n, parts, kindIds, words, linkWords, boiler, p)
+    val out = ArrayBuffer.empty[Block]
+    i = 0
+    while (i < n) { if (keep(i)) out += blocks(i); i += 1 }
+    out.toIndexedSeq
+  }
+
+  /** Keep decision on the raw range-based representation (hot path). */
+  def classifyRaw(rb: FusedSegmenter.RawBlocks, p: Params): Array[Boolean] =
+    classifyCore(rb.n, rb.parts, rb.kindIds, rb.words, rb.linkWords, rb.boiler, p)
+
+  /** The classifier proper. kindId: 0=content 1=heading 2=list.
+    * Index-based single pass (hot loop: no intermediate collections). */
+  def classifyCore(n: Int, parts: Array[Int], kindIds: Array[Int],
+                   words: Array[Int], linkWords: Array[Int],
+                   boiler: Array[Boolean], p: Params): Array[Boolean] = {
+    @inline def dense(i: Int): Boolean =
+      linkWords(i) * p.linkShareDen > words(i) * p.linkShareNum
     // Stage 1 — hard rules (ROI analogue): structural boilerplate
     // containers and link-dense blocks are never content.
     // Stage 2 — Otsu threshold over candidate body-block word counts.
     val hist = new Array[Long](HistBins)
     var i = 0
     while (i < n) {
-      val b = blocks(i)
-      if (!b.boiler && b.words > 0 && !linkDense(b, p) && b.kind != "heading")
-        hist(math.min(b.words, HistBins - 1)) += 1
+      if (!boiler(i) && words(i) > 0 && !dense(i) && kindIds(i) != 1)
+        hist(math.min(words(i), HistBins - 1)) += 1
       i += 1
     }
     val threshold = otsu(hist, p.maxNoiseMean) match {
@@ -84,41 +117,34 @@ object Boilerplate {
       case None    => p.minContentWords
     }
 
-    @inline def candidate(b: Block): Boolean =
-      !b.boiler && b.words > 0 && !linkDense(b, p)
-    @inline def keptBody(b: Block): Boolean =
-      candidate(b) && b.kind != "heading" && b.words >= threshold
+    @inline def candidate(i: Int): Boolean =
+      !boiler(i) && words(i) > 0 && !dense(i)
+    @inline def keptBody(i: Int): Boolean =
+      candidate(i) && kindIds(i) != 1 && words(i) >= threshold
 
     // Stage 3 — region rule for headings: a heading survives iff a kept
     // body block follows it within the same part before the next
     // heading (mirrors the reference's region-bounded psm-6 block
     // model, main_window.py:355-368).
     val keep = new Array[Boolean](n)
-    var kept = 0
     i = 0
     while (i < n) {
-      val b = blocks(i)
-      if (keptBody(b)) { keep(i) = true; kept += 1 }
-      else if (b.kind == "heading" && candidate(b)) {
+      if (keptBody(i)) keep(i) = true
+      else if (kindIds(i) == 1 && candidate(i)) {
         var j = i + 1
         var found = false
         var stop = false
         while (j < n && !stop && !found) {
-          val nb = blocks(j)
-          if (nb.part != b.part) stop = true
-          else if (nb.kind == "heading") stop = true
-          else if (keptBody(nb)) found = true
+          if (parts(j) != parts(i)) stop = true
+          else if (kindIds(j) == 1) stop = true
+          else if (keptBody(j)) found = true
           j += 1
         }
-        if (found) { keep(i) = true; kept += 1 }
+        if (found) keep(i) = true
       }
       i += 1
     }
-    val out = new Array[Block](kept)
-    var k = 0
-    i = 0
-    while (i < n) { if (keep(i)) { out(k) = blocks(i); k += 1 }; i += 1 }
-    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+    keep
   }
 
   /** Otsu's threshold over an integer histogram, exact integer math.

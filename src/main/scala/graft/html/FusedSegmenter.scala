@@ -18,6 +18,49 @@ import BlockSegmenter.{Block, isWs}
   */
 object FusedSegmenter {
 
+  /** Range-based segmentation result — the allocation-light hot-path
+    * representation: ALL block text lives in ONE shared buffer per
+    * document; a block is (part, kindId, start, end, words, linkWords,
+    * boiler) where [start,end) indexes `buf`. Compared to one String +
+    * one Block object per block this removes the dominant per-block
+    * allocations (the extraction loop is memory-bandwidth-bound at
+    * high core counts — BASELINE.md). kindId: 0=content 1=heading
+    * 2=list. */
+  final class RawBlocks {
+    var n = 0
+    var parts = new Array[Int](32)
+    var kindIds = new Array[Int](32)
+    var starts = new Array[Int](32)
+    var ends = new Array[Int](32)
+    var words = new Array[Int](32)
+    var linkWords = new Array[Int](32)
+    var boiler = new Array[Boolean](32)
+    val buf = new java.lang.StringBuilder(512)
+
+    def add(part: Int, kindId: Int, start: Int, end: Int,
+            w: Int, lw: Int, b: Boolean): Unit = {
+      if (n == parts.length) {
+        val m = n * 2
+        parts = java.util.Arrays.copyOf(parts, m)
+        kindIds = java.util.Arrays.copyOf(kindIds, m)
+        starts = java.util.Arrays.copyOf(starts, m)
+        ends = java.util.Arrays.copyOf(ends, m)
+        words = java.util.Arrays.copyOf(words, m)
+        linkWords = java.util.Arrays.copyOf(linkWords, m)
+        boiler = java.util.Arrays.copyOf(boiler, m)
+      }
+      parts(n) = part; kindIds(n) = kindId; starts(n) = start; ends(n) = end
+      words(n) = w; linkWords(n) = lw; boiler(n) = b
+      n += 1
+    }
+
+    def kindName(i: Int): String = RawBlocks.KindNames(kindIds(i))
+    def text(i: Int): String = buf.substring(starts(i), ends(i))
+  }
+  object RawBlocks {
+    val KindNames: Array[String] = Array("content", "heading", "list")
+  }
+
   // tag ids for the tags the segmenter reacts to
   private final val T_OTHER = 0      // inline/unknown: no effect
   private final val T_BLOCK = 1      // block boundary only
@@ -87,8 +130,23 @@ object FusedSegmenter {
     id == T_BLOCK || id == T_HEADING || id == T_LI || id == T_BOILER ||
       id == T_DROP || id == T_ARTICLE
 
+  /** Block-object view (specs, ExplodeBlocks) — materialized from the
+    * range-based hot path so there is exactly ONE segmentation
+    * implementation. */
   def segment(html: String): IndexedSeq[Block] = {
-    val out = new ArrayBuffer[Block](32)
+    val rb = segmentRaw(html)
+    val out = new ArrayBuffer[Block](rb.n)
+    var i = 0
+    while (i < rb.n) {
+      out += Block(rb.parts(i), rb.kindName(i), rb.text(i),
+        rb.words(i), rb.linkWords(i), rb.boiler(i))
+      i += 1
+    }
+    out.toIndexedSeq
+  }
+
+  def segmentRaw(html: String): RawBlocks = {
+    val rb = new RawBlocks
     val n = html.length
 
     // segmentation state (mirrors BlockSegmenter.segment)
@@ -99,10 +157,12 @@ object FusedSegmenter {
     var aDepth = 0
     var headingDepth = 0
     var liDepth = 0
-    // block accumulation: normalized text built directly (the unfused
-    // path normalizes at flush; direct normalization is equivalent
-    // because normalize() is a streaming fold)
-    val norm = new java.lang.StringBuilder(256)
+    // block accumulation: normalized text appended straight into the
+    // shared doc buffer (the unfused path normalizes at flush; direct
+    // normalization is equivalent because normalize() is a streaming
+    // fold); the current block is buf[blockStart, buf.length)
+    val norm = rb.buf
+    var blockStart = 0
     var pendingSpace = false
     var words = 0
     var linkWords = 0
@@ -110,14 +170,15 @@ object FusedSegmenter {
     var blockBoiler = false
 
     def flush(): Unit = {
-      if (norm.length > 0) {
-        val kind =
-          if (headingDepth > 0) "heading"
-          else if (liDepth > 0) "list"
-          else "content"
-        out += Block(part, kind, norm.toString, words, linkWords, blockBoiler)
+      if (norm.length > blockStart) {
+        val kindId =
+          if (headingDepth > 0) 1
+          else if (liDepth > 0) 2
+          else 0
+        rb.add(part, kindId, blockStart, norm.length, words, linkWords, blockBoiler)
       }
-      norm.setLength(0); pendingSpace = false
+      blockStart = norm.length
+      pendingSpace = false
       words = 0; linkWords = 0; inWord = false
       blockBoiler = boilerDepth > 0
     }
@@ -125,7 +186,7 @@ object FusedSegmenter {
     // append one decoded character of text content
     @inline def emitChar(c: Char): Unit = {
       if (isWs(c)) {
-        if (norm.length > 0) pendingSpace = true
+        if (norm.length > blockStart) pendingSpace = true
         inWord = false
       } else {
         if (pendingSpace) { norm.append(' '); pendingSpace = false }
@@ -247,7 +308,7 @@ object FusedSegmenter {
       }
     }
     flush()
-    out.toIndexedSeq
+    rb
   }
 
   @inline private def isNameStart(c: Char): Boolean =

@@ -36,39 +36,36 @@ object Dedup {
         .otherwise(array()))
   }
 
-  /** Exact n-gram Jaccard similarity for candidate pairs that share at
-    * least one NON-STOP shingle (inverted-index equi-join — the
-    * scalable shape: shuffle keyed by shingle, never cross-join).
+  /** Exact n-gram Jaccard similarity over NON-STOP shingle sets
+    * (inverted-index equi-join — the scalable shape: shuffle keyed by
+    * shingle, never cross-join).
     *
     * Stop-shingle cap (`dfCap`): a shingle present in more than dfCap
     * docs ("terms of service" at web scale) keys a join whose output is
     * quadratic WITHIN one key — AQE skew splitting cannot save that, so
-    * hot shingles are excluded from candidate generation via a
-    * broadcast anti-join on the (small) hot set. Jaccard stays EXACT:
-    * candidates re-join their full shingle sets and the similarity is
-    * computed over the complete arrays. The only loss is recall for
-    * pairs whose every shared shingle is hot — standard stop-gram
-    * practice (t4's winnowing applies the same discipline). */
+    * hot shingles are removed via a broadcast anti-join on the (small)
+    * hot set, and the similarity is the exact Jaccard of the REMAINING
+    * (non-stop) shingle sets — the standard stop-gram semantics (hot
+    * grams carry no similarity signal; t4's winnowing applies the same
+    * discipline). Map-side partial aggregation does the pair counting;
+    * no array materialization or verify join-back is needed. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         minJaccard: Double, dfCap: Int = 1000): DataFrame = {
-    val sets = docs.select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
-      .withColumn("n", size(col("sh")))
-      .filter(col("n") > 0)
-    val inv = sets.select(col("id"), explode(col("sh")).as("shingle"))
+    val inv = docs.select(col(idCol).as("id"), explode(shingles(col(textCol))).as("shingle"))
     // hot set is small by construction (few shingles exceed dfCap docs)
     // → broadcastable at any corpus size; the rare set is most of the
     // vocabulary and must never be the broadcast side.
     val hot = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select("shingle")
     val rinv = inv.join(broadcast(hot), Seq("shingle"), "left_anti")
-    val cand = rinv.as("a").join(rinv.as("b"),
+    val rn = rinv.groupBy("id").agg(count(lit(1)).as("n"))
+    val shared = rinv.as("a").join(rinv.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    cand
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"), col("n").as("n_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b"), col("n").as("n_b")), "id_b")
-      .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(rn.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(rn.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
       .withColumn("jaccard",
         col("shared").cast("double") /
           (col("n_a") + col("n_b") - col("shared")).cast("double"))

@@ -253,8 +253,8 @@ object OpsQueries {
         | len(regexp_split_to_array(TRIM(text), '\s+')) AS ws_tokens,
         | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpeish_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // exact mirror of ngramJaccardPairs(dfCap=50): rare-shingle
-    // candidate generation, exact jaccard on the full distinct sets
+    // exact mirror of ngramJaccardPairs(dfCap=50): jaccard over the
+    // NON-STOP (df ≤ 50) distinct-shingle sets
     "d2_ngram_jaccard" ->
       """WITH docs AS (
         | SELECT doc_id, text FROM documents
@@ -269,15 +269,15 @@ object OpsQueries {
         |inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sets),
         |hot AS (SELECT shingle FROM inv GROUP BY shingle HAVING COUNT(*) > 50),
         |rinv AS (SELECT * FROM inv WHERE shingle NOT IN (SELECT shingle FROM hot)),
-        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        | FROM rinv a JOIN rinv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
-        |scored AS (
-        | SELECT id_a, id_b, len(list_intersect(sa.sh, sb.sh)) AS shared,
-        |        len(sa.sh) AS n_a, len(sb.sh) AS n_b
-        | FROM cand JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b)
+        |rn AS (SELECT doc_id, COUNT(*) AS n FROM rinv GROUP BY doc_id),
+        |shared AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+        | FROM rinv a JOIN rinv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2)
         |SELECT id_a, id_b,
-        | ROUND(shared::DOUBLE / (n_a + n_b - shared)::DOUBLE, 6) AS jaccard
-        |FROM scored WHERE shared::DOUBLE / (n_a + n_b - shared)::DOUBLE >= 0.6
+        | ROUND(shared::DOUBLE / (na.n + nb.n - shared)::DOUBLE, 6) AS jaccard
+        |FROM shared JOIN rn na ON na.doc_id = id_a JOIN rn nb ON nb.doc_id = id_b
+        |WHERE shared::DOUBLE / (na.n + nb.n - shared)::DOUBLE >= 0.6
         |ORDER BY id_a, id_b""".stripMargin,
     "t5_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),

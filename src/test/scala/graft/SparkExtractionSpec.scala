@@ -55,6 +55,19 @@ class SparkExtractionSpec extends AnyFunSuite {
     assert(hotRows.map(_.getInt(2)).distinct.length > 1, "hot host must spread over salts")
   }
 
+  test("hot-host detection sees hosts absent from the first partition") {
+    // ids 0-699 (partitions 0-5) are cold hosts; the hot host's rows
+    // live ONLY in the tail partitions — a limit(n)-based sample (the
+    // round-1 shape) reads just the first split and misses it; the
+    // seeded Bernoulli sample must not
+    val df = spark.range(0, 1000, 1, 8).select(
+      when(col("id") < 700,
+        concat(lit("https://cold"), col("id"), lit(".example.com/p")))
+        .otherwise(concat(lit("https://hot.example.com/p"), col("id"))).as("url"))
+    val hot = ExtractPipeline.hotHosts(df, 200, 0.2, totalHint = 1000)
+    assert(hot == Seq("hot.example.com"), s"detected: $hot")
+  }
+
   test("ExplodeBlocks + relational reassembly == in-expression assembly") {
     GraftSession.register(spark)
     val reassembled = SparkEntry.queries("x5_block_assembly")(spark, "")
@@ -62,11 +75,15 @@ class SparkExtractionSpec extends AnyFunSuite {
     val direct = ExtractPipeline.extracted(ExtractPipeline.pages(spark, 500).toDF())
       .filter(col("error").isNull && length(col("text")) > 0)
       .collect().map(r => (r.getString(0), r.getString(1))).toMap
-    // ExplodeBlocks covers HTML payloads; PDFs take the graft_extract path
-    val htmlUrls = (0L until 500L)
-      .filter(id => graft.gen.PageGen.kindOf(id) == graft.gen.PageGen.Html)
+    // ExplodeBlocks covers HTML and PDF payloads (PDF: one content
+    // block per page, every page kept) — assert equality for both
+    val coveredUrls = (0L until 500L)
+      .filter { id =>
+        val k = graft.gen.PageGen.kindOf(id)
+        k == graft.gen.PageGen.Html || k == graft.gen.PageGen.Pdf
+      }
       .map(id => graft.gen.PageGen.urlOf(id))
-    htmlUrls.foreach { u =>
+    coveredUrls.foreach { u =>
       assert(reassembled.get(u) == direct.get(u), s"url=$u")
     }
   }
