@@ -206,7 +206,205 @@ object OpsQueries {
       Multimodal.frameSample(feats, 24).orderBy("media_id", "frame_idx")
     }))
 
+  // ---- SQL builders for hash-faithful oracles -------------------------
+  //
+  // d3/d4's fingerprints use FNV-1a and splitmix64 (TextExprs.Hash64) —
+  // fixed public integer algorithms, so DuckDB can recompute them
+  // EXACTLY with 64-bit wraparound arithmetic emulated via HUGEINT.
+  // splitmix64 is generated as a relational CTE pipeline (one column
+  // step per stage) rather than a nested expression — nesting would
+  // duplicate the input expression 8× per mix application.
+
+  private val M64 = "18446744073709551616" // 2^64
+
+  /** (z * const) mod 2^64 without INT128 overflow: 32-bit split. */
+  private def modMul(z: String, const: String): String =
+    s"CAST(( (CAST(($z >> 32) AS HUGEINT) * $const % 4294967296) * 4294967296" +
+      s" + CAST(($z & 4294967295) AS HUGEINT) * $const ) % $M64 AS UBIGINT)"
+
+  /** splitmix64 finalizer (Hash64.mix) applied to `src.incol`, emitted
+    * as 4 chained CTEs named `prefix_a..prefix_out(keep, outcol)`. */
+  private def mixCtes(src: String, incol: String, prefix: String,
+                      outcol: String, keep: String): String = {
+    val A = "11400714819323198485" // 0x9e3779b97f4a7c15
+    val B = "13787848793156543929" // 0xbf58476d1ce4e5b9
+    val C = "10723151780598845931" // 0x94d049bb133111eb
+    s"""$prefix{}_a AS (SELECT $keep, CAST((CAST($incol AS HUGEINT) + $A) % $M64 AS UBIGINT) AS z1 FROM $src),
+       |$prefix{}_b AS (SELECT $keep, ${modMul("xor(z1, z1 >> 30)", B)} AS z2 FROM $prefix{}_a),
+       |$prefix{}_c AS (SELECT $keep, ${modMul("xor(z2, z2 >> 27)", C)} AS z3 FROM $prefix{}_b),
+       |$prefix{}_out AS (SELECT $keep, xor(z3, z3 >> 31) AS $outcol FROM $prefix{}_c)"""
+      .stripMargin.replace("{}", "")
+  }
+
+  /** FNV-1a of word `w` over UTF-16 code units (Hash64.fnv1a). */
+  private val fnvWordSql: String =
+    s"""list_reduce(
+       |   [14695981039346656037::UBIGINT] ||
+       |     list_transform(range(1, len(w)+1), i -> CAST(ord(substr(w, i, 1)) AS UBIGINT)),
+       |   (h, c) -> CAST(
+       |     (CAST(xor(
+       |        CAST((CAST(xor(h, c & 255) AS HUGEINT) * 1099511628211) % $M64 AS UBIGINT),
+       |        (c >> 8) & 255) AS HUGEINT) * 1099511628211) % $M64
+       |     AS UBIGINT))""".stripMargin
+
+  /** The planted-near-dup corpus + per-word FNV hashes, shared by the
+    * d3/d4 oracles (exact mirror of docsWithNearDups + tokenization). */
+  private val wordHashCtes: String =
+    s"""docs AS (
+       | SELECT doc_id, text FROM documents
+       | UNION ALL
+       | SELECT doc_id + 100000 AS doc_id, text || ' zz qq xx' AS text
+       | FROM documents WHERE doc_id % 5 = 0),
+       |wl AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM docs),
+       |words AS (
+       | SELECT doc_id, i AS widx, $fnvWordSql AS h
+       | FROM (SELECT doc_id, unnest(range(1, len(ws)+1)) AS i, ws FROM wl),
+       |      LATERAL (SELECT ws[i] AS w))""".stripMargin
+
+  /** Full MinHash+LSH recomputation: word FNV → rolling 3-gram shingle
+    * hashes (mix chains) → 64 seeded permutations → per-position mins
+    * (SIGNED compare, matching Java Long) → 16-band slice join →
+    * est_jaccard = equal positions / 64. Matches d3 bit-for-bit. */
+  private lazy val d3OracleSql: String =
+    s"""WITH $wordHashCtes,
+       |${mixCtes("words", "h", "m1", "mh", "doc_id, widx, h")},
+       |${mixCtes("m1_out", "mh", "m2", "mmh", "doc_id, widx")},
+       |tri AS (
+       | SELECT a.doc_id, xor(xor(a.h, b.mh), c.mmh) AS pre
+       | FROM words a
+       | JOIN m1_out b ON b.doc_id = a.doc_id AND b.widx = a.widx + 1
+       | JOIN m2_out c ON c.doc_id = a.doc_id AND c.widx = a.widx + 2),
+       |${mixCtes("tri", "pre", "sh", "shingle", "doc_id")},
+       |seeds1 AS (SELECT j, CAST(1592590336 + j AS UBIGINT) AS s0
+       |           FROM (SELECT unnest(range(0, 64)) AS j)),
+       |${mixCtes("seeds1", "s0", "sd", "seed", "j")},
+       |perm0 AS (SELECT doc_id, j, xor(shingle, seed) AS x FROM sh_out, sd_out),
+       |${mixCtes("perm0", "x", "pm", "pv", "doc_id, j")},
+       |permv AS (SELECT doc_id, j,
+       |  CASE WHEN pv >= 9223372036854775808::UBIGINT
+       |       THEN CAST(CAST(pv AS HUGEINT) - $M64 AS BIGINT)
+       |       ELSE CAST(pv AS BIGINT) END AS sv
+       | FROM pm_out),
+       |sig AS (SELECT doc_id, list(min_sv ORDER BY j) AS sg
+       | FROM (SELECT doc_id, j, MIN(sv) AS min_sv FROM permv GROUP BY doc_id, j)
+       | GROUP BY doc_id),
+       |banded AS (
+       | SELECT doc_id, sg, b, sg[b*4+1 : b*4+4] AS band_key
+       | FROM sig, (SELECT unnest(range(0, 16)) AS b) bands),
+       |pairs AS (
+       | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sg AS sa, b.sg AS sb
+       | FROM banded a JOIN banded b
+       |   ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b,
+       | CAST(len(list_filter(range(1, 65), i -> sa[i] = sb[i])) AS DOUBLE) / 64.0 AS est_jaccard
+       |FROM pairs
+       |WHERE CAST(len(list_filter(range(1, 65), i -> sa[i] = sb[i])) AS DOUBLE) / 64.0 >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Full SimHash recomputation: per-word FNV → ±1 votes per bit →
+    * 64-bit fingerprint → 4×16-bit chunk-band join (pigeonhole) →
+    * exact hamming via bit_count(xor). Matches d4 bit-for-bit. */
+  private lazy val d4OracleSql: String =
+    s"""WITH $wordHashCtes,
+       |votes AS (
+       | SELECT doc_id, j,
+       |  SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+       | FROM words, (SELECT unnest(range(0, 64)) AS j) bits
+       | GROUP BY doc_id, j),
+       |fp AS (
+       | SELECT doc_id,
+       |  SUM(CASE WHEN acc > 0 THEN (1::UBIGINT << CAST(j AS INT))::HUGEINT
+       |           ELSE 0::HUGEINT END) AS fpu
+       | FROM votes GROUP BY doc_id),
+       |chunked AS (
+       | SELECT doc_id, fpu, ci, (CAST(fpu AS UBIGINT) >> (ci * 16)) & 65535 AS cv
+       | FROM fp, (SELECT unnest(range(0, 4)) AS ci) chunks),
+       |pairs AS (
+       | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.fpu AS fa, b.fpu AS fb
+       | FROM chunked a JOIN chunked b
+       |   ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b,
+       | bit_count(xor(CAST(fa AS UBIGINT), CAST(fb AS UBIGINT))) AS hamming
+       |FROM pairs
+       |WHERE bit_count(xor(CAST(fa AS UBIGINT), CAST(fb AS UBIGINT))) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Full random-hyperplane-LSH ANN recomputation: ±1 plane signs from
+    * splitmix64(p·131+d), bucket bits from ORDERED left-to-right dot
+    * folds (list_reduce reproduces the Java loop's IEEE summation
+    * order exactly), multi-probe 1-bit flips, cosine in the same fold
+    * order, rank with the same tie-break. dim=64 fixed by the driver's
+    * embeddings table. Matches s2 bit-for-bit. */
+  private lazy val s2OracleSql: String = {
+    val dim = 64
+    s"""WITH pd0 AS (SELECT p, d, CAST(p * 131 + d AS UBIGINT) AS x
+       |  FROM (SELECT unnest(range(0, 8)) AS p), (SELECT unnest(range(0, $dim)) AS d)),
+       |${mixCtes("pd0", "x", "sg", "mv", "p, d")},
+       |signs AS (SELECT p, d, CASE WHEN mv & 1 = 1 THEN 1.0 ELSE -1.0 END AS s FROM sg_out),
+       |ev AS (SELECT vec_id, embedding, d, CAST(embedding[d+1] AS DOUBLE) AS v
+       |  FROM embeddings, (SELECT unnest(range(0, $dim)) AS d)),
+       |prod AS (SELECT vec_id, p, list(v * s ORDER BY d) AS xs
+       |  FROM ev JOIN signs USING (d) GROUP BY vec_id, p),
+       |dots AS (SELECT vec_id, p, list_reduce(xs, (a, x) -> a + x) AS dot FROM prod),
+       |buckets AS (SELECT vec_id,
+       |    CAST(SUM(CASE WHEN dot > 0.0 THEN 1 << CAST(p AS INT) ELSE 0 END) AS INT) AS bucket
+       |  FROM dots GROUP BY vec_id),
+       |emb AS (SELECT e.vec_id, e.embedding, b.bucket FROM embeddings e JOIN buckets b USING (vec_id)),
+       |qb AS (SELECT vec_id AS query_id, embedding AS qemb,
+       |         unnest([bucket] || list_transform(range(0, 8), i -> xor(bucket, 1 << CAST(i AS INT)))) AS bucket
+       |  FROM emb WHERE vec_id < 5),
+       |scored AS (
+       | SELECT q.query_id, c.vec_id AS neighbor_id,
+       |  list_reduce(list_transform(range(1, $dim+1), i -> CAST(q.qemb[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), (a,x) -> a+x) /
+       |  (sqrt(list_reduce(list_transform(range(1, $dim+1), i -> CAST(q.qemb[i] AS DOUBLE) * CAST(q.qemb[i] AS DOUBLE)), (a,x) -> a+x)) *
+       |   sqrt(list_reduce(list_transform(range(1, $dim+1), i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), (a,x) -> a+x))) AS cosine
+       | FROM qb q JOIN emb c USING (bucket)
+       | WHERE q.query_id <> c.vec_id),
+       |ranked AS (
+       | SELECT query_id, neighbor_id,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       | FROM scored)
+       |SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Full winnowing recomputation (Schleimer et al.): char-8-gram FNV →
+    * mix → signed min per non-overlapping 16-window (integer division
+    * groups the tail window automatically) → distinct fingerprints →
+    * df≤50 stop-fp filter → shared-fp containment pairs. Matches t4
+    * bit-for-bit. */
+  private lazy val t4OracleSql: String =
+    s"""WITH docs AS (
+       | SELECT doc_id, text FROM documents
+       | UNION ALL
+       | SELECT doc_id + 100000 AS doc_id, text || ' zz qq xx' AS text
+       | FROM documents WHERE doc_id % 5 = 0),
+       |grams AS (
+       | SELECT doc_id, pos, $fnvWordSql AS h
+       | FROM (SELECT doc_id, unnest(range(0, len(text) - 7)) AS pos, text FROM docs
+       |       WHERE len(text) >= 8),
+       |      LATERAL (SELECT substr(text, CAST(pos AS INT) + 1, 8) AS w)),
+       |${mixCtes("grams", "h", "gm", "mv", "doc_id, pos")},
+       |signed AS (SELECT doc_id, pos,
+       |  CASE WHEN mv >= 9223372036854775808::UBIGINT
+       |       THEN CAST(CAST(mv AS HUGEINT) - $M64 AS BIGINT)
+       |       ELSE CAST(mv AS BIGINT) END AS hv
+       | FROM gm_out),
+       |fps AS (SELECT DISTINCT doc_id, wmin AS fp
+       | FROM (SELECT doc_id, pos // 16 AS wi, MIN(hv) AS wmin
+       |       FROM signed GROUP BY doc_id, pos // 16)),
+       |hot AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) > 50),
+       |rare AS (SELECT * FROM fps WHERE fp NOT IN (SELECT fp FROM hot))
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_fp
+       |FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING COUNT(*) >= 8
+       |ORDER BY id_a, id_b""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "d3_minhash_lsh" -> d3OracleSql,
+    "d4_simhash" -> d4OracleSql,
+    "s2_ann_lsh" -> s2OracleSql,
+    "t4_fingerprint" -> t4OracleSql,
     "d1_dedup_exact" ->
       """WITH docs AS (
         | SELECT doc_id, text FROM documents

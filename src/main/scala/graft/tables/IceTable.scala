@@ -71,20 +71,37 @@ final class IceTable(val root: String, spark: SparkSession) {
     parseSnapshot(txt)
   }
 
-  /** Read the table at a snapshot (time travel) or latest. */
+  /** Read the table at a snapshot (time travel) or latest. Each
+    * snapshot records the schema it was committed with (schema
+    * evolution story: data dirs are per-commit, so historic snapshots
+    * keep their own schema; the read validates the files still carry
+    * every recorded field — drift fails loudly instead of silently
+    * returning nulls). */
   def read(asOf: Option[Long] = None): DataFrame = {
     val id = asOf.orElse(currentSnapshotId)
       .getOrElse(throw new IllegalStateException(s"no snapshot in $root"))
     val snap = readSnapshot(id)
-    if (snap.files.isEmpty) spark.emptyDataFrame
-    else spark.read
+    if (snap.files.isEmpty) return spark.emptyDataFrame
+    val df = spark.read
       // explicit manifest file list (Iceberg-style: plans from metadata,
       // no directory listing on the read path); basePath recovers the
       // grp/bucket partition columns for partition pruning
       .option("basePath", s"$root/data/commit-${snap.commitId}")
       .parquet(snap.files.map(_.path): _*)
       .drop("grp")
+    snap.schemaFields.foreach { recorded =>
+      val have = df.columns.toSet
+      val missing = recorded.filterNot(have)
+      if (missing.nonEmpty)
+        throw new IllegalStateException(
+          s"snapshot $id schema drift: recorded fields missing from data: ${missing.mkString(",")}")
+    }
+    df
   }
+
+  /** Field names recorded with a snapshot (None for pre-v1 snapshots). */
+  def schemaOf(snapshotId: Long): Option[Seq[String]] =
+    readSnapshot(snapshotId).schemaFields
 
   /** Per-bucket lineage + metrics rows of a snapshot. */
   def lineage(asOf: Option[Long] = None): DataFrame = {
@@ -160,7 +177,8 @@ final class IceTable(val root: String, spark: SparkSession) {
     val rows = spark.read.parquet(lineageDir).agg(sum("rows")).collect()(0).getLong(0)
     val parent = currentSnapshotId.getOrElse(-1L)
     val next = parent + 1
-    val json = renderSnapshot(Snapshot(next, parent, commitId, files, rows, lineageDir))
+    val json = renderSnapshot(Snapshot(next, parent, commitId, files, rows, lineageDir,
+      Some(df.columns.toSeq)))
     fs.mkdirs(metaDir)
     val tmp = new Path(metaDir, s".snap-$next.json.tmp")
     val o = fs.create(tmp, true); o.write(json.getBytes("UTF-8")); o.close()
@@ -228,28 +246,43 @@ final class IceTable(val root: String, spark: SparkSession) {
   private def renderSnapshot(s: Snapshot): String = {
     val files = s.files.map(f => s"""{"path":${q(f.path)},"bytes":${f.bytes}}""")
       .mkString("[", ",", "]")
-    s"""{"snapshot_id":${s.id},"parent_id":${s.parentId},"commit_id":${q(s.commitId)},
-       |"rows":${s.rows},"lineage":${q(s.lineagePath)},"files":$files}""".stripMargin
+    val schema = s.schemaFields
+      .map(fs => s""","schema":${fs.map(q).mkString("[", ",", "]")}""")
+      .getOrElse("")
+    s"""{"format_version":1,"snapshot_id":${s.id},"parent_id":${s.parentId},"commit_id":${q(s.commitId)},
+       |"rows":${s.rows},"lineage":${q(s.lineagePath)}$schema,"files":$files}""".stripMargin
   }
 
   private def parseSnapshot(txt: String): Snapshot = {
-    // purpose-built parser for renderSnapshot's fixed shape
-    def longField(k: String): Long = {
-      val m = (s""""$k":(-?\\d+)""").r.findFirstMatchIn(txt)
-        .getOrElse(throw new IllegalStateException(s"bad snapshot json: $k"))
-      m.group(1).toLong
-    }
+    // purpose-built parser for renderSnapshot's fixed shape; unknown
+    // keys are ignored (forward-tolerant), known keys are extracted by
+    // name so field ORDER never matters; format_version gates reads of
+    // manifests newer than this reader understands
+    def longFieldOpt(k: String): Option[Long] =
+      (s""""$k":(-?\\d+)""").r.findFirstMatchIn(txt).map(_.group(1).toLong)
+    def longField(k: String): Long = longFieldOpt(k)
+      .getOrElse(throw new IllegalStateException(s"bad snapshot json: $k"))
     def strField(k: String): String = {
       val m = (s""""$k":"((?:[^"\\\\]|\\\\.)*)"""").r.findFirstMatchIn(txt)
         .getOrElse(throw new IllegalStateException(s"bad snapshot json: $k"))
       m.group(1).replace("\\\"", "\"").replace("\\\\", "\\")
     }
+    val version = longFieldOpt("format_version").getOrElse(0L)
+    if (version > 1L)
+      throw new IllegalStateException(
+        s"snapshot format_version $version is newer than this reader (supports ≤1)")
     val files = ("""\{"path":"((?:[^"\\]|\\.)*)","bytes":(\d+)\}""").r
       .findAllMatchIn(txt)
       .map(m => DataFileEntry(m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"), m.group(2).toLong))
       .toSeq
+    val schemaFields = (""""schema":\[((?:"(?:[^"\\]|\\.)*",?)*)\]""").r
+      .findFirstMatchIn(txt).map { m =>
+        ("""\"((?:[^"\\]|\\.)*)\"""").r.findAllMatchIn(m.group(1))
+          .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
+      }
     Snapshot(longField("snapshot_id"), longField("parent_id"),
-      strField("commit_id"), files, longField("rows"), strField("lineage"))
+      strField("commit_id"), files, longField("rows"), strField("lineage"),
+      schemaFields)
   }
 }
 
@@ -261,5 +294,6 @@ object IceTable {
       commitId: String,
       files: Seq[DataFileEntry],
       rows: Long,
-      lineagePath: String)
+      lineagePath: String,
+      schemaFields: Option[Seq[String]] = None)
 }

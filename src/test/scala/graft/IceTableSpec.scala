@@ -99,4 +99,22 @@ class IceTableSpec extends AnyFunSuite {
         extracted.filter(lit(false)), tmpRoot("textsink2") + "/txt")
     }
   }
+
+  test("snapshot schema: recorded per commit, validated on read, evolvable") {
+    import org.apache.spark.sql.functions._
+    val root = tmpRoot("schema")
+    val table = new IceTable(root, spark)
+    val df1 = spark.range(0, 100).select(col("id"),
+      pmod(col("id"), lit(4)).cast("int").as("bucket"),
+      lit(null).cast("string").as("error"), lit("t").as("text"))
+    val s1 = table.commit(df1, "schema-1", groups = 2)
+    // a later commit ADDS a column — snapshots keep their own schema
+    // (per-commit data dirs), so time travel returns the old shape
+    val s2 = table.commit(df1.withColumn("lang", lit("en")), "schema-2", groups = 2)
+    assert(table.schemaOf(s1).get.toSet == Set("id", "bucket", "error", "text"))
+    assert(table.schemaOf(s2).get.contains("lang"))
+    assert(!table.read(Some(s1)).columns.contains("lang"))
+    assert(table.read(Some(s2)).columns.contains("lang"))
+    assert(table.read(Some(s2)).count() == 100)
+  }
 }
