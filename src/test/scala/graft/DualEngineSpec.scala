@@ -59,6 +59,24 @@ class DualEngineSpec extends AnyFunSuite {
     assert(both.head == s"--- صفحة 1 ---\nHead Line\n$body12") // default empty ⇒ alt alone
   }
 
+  test("golden freeze: dual-engine tiny-fixture digest is stable") {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    (0L until 200L).foreach { id =>
+      val row = graft.gen.PageGen.row(id)
+      val got = Extractor.extract(row.html, row.lang, Engine.Both)
+      md.update(row.url.getBytes("UTF-8"))
+      md.update(0.toByte)
+      md.update((if (got.text == null) " NULL" else got.text).getBytes("UTF-8"))
+      md.update(0.toByte)
+      md.update((if (got.error == null) "" else got.error).getBytes("UTF-8"))
+      md.update(1.toByte)
+    }
+    val hex = md.digest().map(b => f"$b%02x").mkString
+    val expected = sys.props.getOrElse("graft.golden.dual", GoldenHashes.DualExtractDigest)
+    if (expected == "PRINT") info(s"dual digest=$hex")
+    assert(hex == expected, s"dual-engine golden digest drifted: $hex")
+  }
+
   test("default-engine goldens unaffected by the engine seam") {
     // 2-arg extract must route through Engine.Default exactly
     val viaDefault = Extractor.extract(page(body20).getBytes("UTF-8"), "en")
