@@ -42,6 +42,33 @@ object StreamingExtract {
       .start()
   }
 
+  /** Streaming extraction where EVERY micro-batch becomes an IceTable
+    * append snapshot (ST3: the reference's hourly auto-backup becomes a
+    * snapshot per trigger — the snapshot log IS the backup history, and
+    * the latest snapshot always reads the full accumulated table).
+    * foreachBatch replay of a batchId is idempotent at the data layer:
+    * commitAppend skips finished group markers and never double-counts
+    * a commit's files. */
+  def runIceTable(spark: SparkSession, pagesDir: String, tableRoot: String,
+                  checkpointDir: String, buckets: Int = 8): StreamingQuery = {
+    GraftSession.register(spark)
+    val table = new graft.tables.IceTable(tableRoot, spark)
+    val pages = spark.readStream
+      .schema("url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING")
+      .parquet(pagesDir)
+    ExtractPipeline.extracted(pages)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val out = batch.withColumn("bucket",
+          pmod(xxhash64(col("url")), lit(buckets)).cast("int"))
+        if (!out.isEmpty) { table.commitAppend(out, s"stream-$batchId"); () }
+      }
+      .start()
+  }
+
   /** Watermarked event-time windowed aggregation over the events table
     * (ST3/ST4 analogue: periodic per-window status rows). */
   def windowedEventCounts(events: DataFrame): DataFrame =

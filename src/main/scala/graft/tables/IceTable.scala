@@ -82,13 +82,18 @@ final class IceTable(val root: String, spark: SparkSession) {
       .getOrElse(throw new IllegalStateException(s"no snapshot in $root"))
     val snap = readSnapshot(id)
     if (snap.files.isEmpty) return spark.emptyDataFrame
-    val df = spark.read
-      // explicit manifest file list (Iceberg-style: plans from metadata,
-      // no directory listing on the read path); basePath recovers the
-      // grp/bucket partition columns for partition pruning
-      .option("basePath", s"$root/data/commit-${snap.commitId}")
-      .parquet(snap.files.map(_.path): _*)
-      .drop("grp")
+    // explicit manifest file list (Iceberg-style: plans from metadata,
+    // no directory listing on the read path); basePath recovers the
+    // grp/bucket partition columns for partition pruning. Append
+    // snapshots carry files from several commit dirs — one read per
+    // dir (each with its own basePath), unioned.
+    val byCommit = snap.files
+      .groupBy(f => commitDirOf(f.path).getOrElse(snap.commitId)).toSeq.sortBy(_._1)
+    val df = byCommit.map { case (c, fsOfC) =>
+      spark.read
+        .option("basePath", s"$root/data/commit-$c")
+        .parquet(fsOfC.map(_.path): _*)
+    }.reduce(_.unionByName(_)).drop("grp")
     snap.schemaFields.foreach { recorded =>
       val have = df.columns.toSet
       val missing = recorded.filterNot(have)
@@ -123,6 +128,30 @@ final class IceTable(val root: String, spark: SparkSession) {
     */
   def commit(df: DataFrame, commitId: String, groups: Int = 8,
              abortAfterGroup: Int = -1): Long = {
+    val (files, rows) = writeGroups(df, commitId, groups, abortAfterGroup)
+    flipSnapshot(commitId, files, rows, df.columns.toSeq)
+  }
+
+  /** APPEND-commit: like `commit`, but the new snapshot's manifest is
+    * the parent snapshot's file list PLUS this commit's files — the
+    * Iceberg append semantic, enabling incremental/streaming ingestion
+    * where every micro-batch becomes a snapshot and the latest
+    * snapshot always reads the full accumulated table. Idempotent on
+    * replay of the same commitId (finished group markers skip the
+    * write; a commitId's files are filtered from the parent list
+    * before re-adding, so they are never double-counted). The
+    * snapshot's `lineage` stays per-commit (the DELTA's lineage). */
+  def commitAppend(df: DataFrame, commitId: String, groups: Int = 1): Long = {
+    val parent = currentSnapshotId.map(readSnapshot)
+    val parentFiles = parent.map(_.files).getOrElse(Nil)
+      .filterNot(_.path.contains(s"/commit-$commitId/"))
+    val (files, rows) = writeGroups(df, commitId, groups, -1)
+    flipSnapshot(commitId, (parentFiles ++ files).sortBy(_.path),
+      rows + parent.map(_.rows).getOrElse(0L), df.columns.toSeq)
+  }
+
+  private def writeGroups(df: DataFrame, commitId: String, groups: Int,
+                          abortAfterGroup: Int): (Seq[DataFileEntry], Long) = {
     require(df.columns.contains("bucket"), "df must carry a bucket column")
     val dataDir = new Path(root, s"data/commit-$commitId")
     val progressDir = new Path(metaDir, s"progress/$commitId")
@@ -172,13 +201,22 @@ final class IceTable(val root: String, spark: SparkSession) {
         throw new IllegalStateException(s"simulated crash after group $g")
     }
 
-    // collect the full file list (manifest) and flip the snapshot
+    // collect this commit's file list and its row count
     val files = listParquet(dataDir)
     val rows = spark.read.parquet(lineageDir).agg(sum("rows")).collect()(0).getLong(0)
+    (files, rows)
+  }
+
+  /** Atomic snapshot flip: write manifest to a temp name, rename into
+    * place, then advance the version hint — crash at any point leaves
+    * the previous snapshot intact and readable. */
+  private def flipSnapshot(commitId: String, files: Seq[DataFileEntry],
+                           rows: Long, schemaFields: Seq[String]): Long = {
+    val lineageDir = s"$root/metadata/lineage/$commitId"
     val parent = currentSnapshotId.getOrElse(-1L)
     val next = parent + 1
     val json = renderSnapshot(Snapshot(next, parent, commitId, files, rows, lineageDir,
-      Some(df.columns.toSeq)))
+      Some(schemaFields)))
     fs.mkdirs(metaDir)
     val tmp = new Path(metaDir, s".snap-$next.json.tmp")
     val o = fs.create(tmp, true); o.write(json.getBytes("UTF-8")); o.close()
@@ -188,24 +226,42 @@ final class IceTable(val root: String, spark: SparkSession) {
     next
   }
 
+  /** Compact the current snapshot: rewrite every live file into one
+    * fresh overwrite-commit (Iceberg rewrite_data_files analogue) —
+    * counters the small-file accumulation of per-micro-batch streaming
+    * appends. Old commit dirs become unreferenced once pre-compaction
+    * snapshots expire. */
+  def compact(commitId: String, groups: Int = 1): Long =
+    commit(read(), commitId, groups)
+
+  /** Commit-directory name referenced by a data file path. */
+  private def commitDirOf(path: String): Option[String] =
+    """data/commit-([^/]+)/""".r.findFirstMatchIn(path).map(_.group(1))
+
   /** Expire snapshots older than `keep` latest ones: delete their
     * manifests and any data-commit directories no surviving snapshot
     * references (backup retention discipline — the reference prunes by
     * listing+selection, backup_manager.py:63-77; Iceberg calls this
-    * expire_snapshots). The current snapshot is never expired. */
+    * expire_snapshots). References are tracked per FILE, not per
+    * snapshot commitId — append snapshots carry files from many commit
+    * dirs, all of which must survive. The current snapshot is never
+    * expired. */
   def expireSnapshots(keep: Int): Seq[Long] = {
     require(keep >= 1)
     val all = snapshots
     if (all.length <= keep) return Nil
     val (drop, keepIds) = all.splitAt(all.length - keep)
-    val referenced = keepIds.map(readSnapshot(_).commitId).toSet
+    val keptSnaps = keepIds.map(readSnapshot)
+    val referenced = (keptSnaps.map(_.commitId) ++
+      keptSnaps.flatMap(_.files.flatMap(f => commitDirOf(f.path)))).toSet
     val dropped = drop.filter { id =>
       val snap = readSnapshot(id)
       fs.delete(snapPath(id), false)
-      if (!referenced.contains(snap.commitId)) {
-        fs.delete(new Path(root, s"data/commit-${snap.commitId}"), true)
-        fs.delete(new Path(root, s"metadata/lineage/${snap.commitId}"), true)
-        fs.delete(new Path(metaDir, s"progress/${snap.commitId}"), true)
+      val dirs = (snap.files.flatMap(f => commitDirOf(f.path)) :+ snap.commitId).distinct
+      dirs.filterNot(referenced.contains).foreach { c =>
+        fs.delete(new Path(root, s"data/commit-$c"), true)
+        fs.delete(new Path(root, s"metadata/lineage/$c"), true)
+        fs.delete(new Path(metaDir, s"progress/$c"), true)
       }
       true
     }

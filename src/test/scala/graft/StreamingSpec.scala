@@ -41,6 +41,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.sameElements(batch))
   }
 
+  test("micro-batches append-commit to IceTable; latest snapshot = full table") {
+    import spark.implicits._
+    val src = tmp("icesrc"); val root = tmp("iceroot"); val ckpt = tmp("iceckpt")
+    ExtractPipeline.pages(spark, 300).toDF().write.mode("append").parquet(src)
+    val q = StreamingExtract.runIceTable(spark, src, root, ckpt, buckets = 4)
+    q.processAllAvailable()
+    spark.range(300L, 500L, 1L, 4)
+      .mapPartitions(_.map(id => graft.gen.PageGen.row(id.longValue()))).toDF()
+      .write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    val table = new graft.tables.IceTable(root, spark)
+    assert(table.snapshots.size >= 2, s"snapshots: ${table.snapshots}")
+    // latest snapshot reads the FULL accumulated table (append semantics)
+    val streamed = table.read()
+      .select("url", "text", "error").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    val batch = ExtractPipeline.extracted(ExtractPipeline.pages(spark, 500).toDF())
+      .select("url", "text", "error").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    assert(streamed.length == 500)
+    assert(streamed.sameElements(batch))
+    // earlier snapshots time-travel to the smaller increments
+    val first = table.read(Some(table.snapshots.head)).count()
+    assert(first < 500 && first > 0)
+
+    // compaction rewrites the accumulated small files into one commit
+    val filesBefore = table.read().inputFiles.length
+    val compacted = table.compact("compact-0")
+    assert(table.read(Some(compacted)).count() == 500)
+    assert(table.read(Some(compacted)).inputFiles.length < filesBefore,
+      s"compaction must reduce file count (before=$filesBefore)")
+    // expiring pre-compaction snapshots drops their unreferenced dirs
+    // while the compacted table stays fully readable
+    table.expireSnapshots(keep = 1)
+    assert(table.read().count() == 500)
+  }
+
   test("watermarked windowed aggregation over streamed events") {
     val src = tmp("ev")
     spark.read.parquet("/root/testdata/sf0.001/events.parquet")
