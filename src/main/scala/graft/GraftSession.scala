@@ -43,6 +43,16 @@ object GraftSession {
       "graft_explode_blocks", exprs => graft.expr.ExplodeBlocks(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction(
       "graft_shingles", exprs => graft.expr.Shingles(exprs.head), "scala_udf")
+    // bounded top-k aggregate (scale-safe ANN ranking): 3rd arg is the
+    // plan-time literal k; the analyzer wraps the returned
+    // AggregateFunction like any built-in aggregate
+    reg.createOrReplaceTempFunction(
+      "graft_topk",
+      exprs => {
+        val k = exprs(2).eval(null).asInstanceOf[Number].intValue()
+        graft.expr.TopKAgg(exprs.head, exprs(1), k)
+      },
+      "scala_udf")
     spark
   }
 

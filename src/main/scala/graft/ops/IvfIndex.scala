@@ -126,8 +126,6 @@ object IvfIndex {
     val scored = lists.join(broadcast(qprobe), Seq("cluster"))
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("cosine", Similarity.cosine(col("qemb"), col("embedding")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cosine"))
+    Similarity.rankTopK(scored, col("query_id"), col("vec_id"), col("cosine"), k)
   }
 }

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column.
@@ -28,19 +27,28 @@ object Similarity {
     dot / (sqrt(na) * sqrt(nb))
   }
 
-  /** Brute-force cosine top-k: broadcast queries × corpus scan, then a
-    * per-query window rank. One shuffle (the rank); the scan itself is
-    * embarrassingly parallel. */
+  /** Rank the scored candidate set per query via the bounded top-k
+    * aggregate (graft_topk — TopKAgg): partial per-partition heaps of
+    * ≤k entries, so only k rows per query per partition shuffle. The
+    * round-1 `row_number().over(Window)` shape shuffled EVERY scored
+    * row; ordering (score desc, id asc) is identical. Requires
+    * GraftSession.register. */
+  def rankTopK(scored: DataFrame, queryCol: Column, idCol: Column,
+               scoreCol: Column, k: Int): DataFrame =
+    scored.groupBy(queryCol.as("query_id"))
+      .agg(call_function("graft_topk", scoreCol, idCol, lit(k)).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("e.id").as("neighbor_id"), col("e.score").as("cosine"))
+
+  /** Brute-force cosine top-k: broadcast queries × corpus scan, then
+    * the bounded top-k aggregate — shuffles k rows per (query,
+    * partition), never the full scored set. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val scored = corpus.as("c").join(broadcast(queries.as("q")))
       .withColumn("cosine", cosine(col("q.embedding"), col("c.embedding")))
       .filter(col("q.vec_id") =!= col("c.vec_id"))
-    val w = Window.partitionBy(col("q.vec_id"))
-      .orderBy(col("cosine").desc, col("c.vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q.vec_id").as("query_id"), col("rank"),
-        col("c.vec_id").as("neighbor_id"), col("cosine"))
+    rankTopK(scored, col("q.vec_id"), col("c.vec_id"), col("cosine"), k)
   }
 
   /** LSH-bucketed ANN top-k: score only corpus rows in the query's
@@ -58,11 +66,6 @@ object Similarity {
     val scored = cb.as("c").join(broadcast(qb.as("q")), Seq("bucket"))
       .withColumn("cosine", cosine(col("q.embedding"), col("c.embedding")))
       .filter(col("q.vec_id") =!= col("c.vec_id"))
-    val w = Window.partitionBy(col("q.vec_id"))
-      .orderBy(col("cosine").desc, col("c.vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q.vec_id").as("query_id"), col("rank"),
-        col("c.vec_id").as("neighbor_id"), col("cosine"))
+    rankTopK(scored, col("q.vec_id"), col("c.vec_id"), col("cosine"), k)
   }
 }

@@ -143,6 +143,27 @@ class OpsSpec extends AnyFunSuite {
     assert(a.toSet.intersect(c.toSet).isEmpty, "unrelated text → disjoint fingerprints")
   }
 
+  test("graft_topk aggregate == window ranking (ties, partials, merge)") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    GraftSession.register(spark)
+    // deterministic synthetic scores with deliberate TIES across
+    // partitions: the bounded heap's (score desc, id asc) order must
+    // reproduce the window formulation exactly
+    val df = spark.range(0, 5000, 1, 16).select(
+      (col("id") % 7).as("query_id"),
+      col("id").as("cand_id"),
+      ((col("id") * 37 % 101).cast("double") / 100.0).as("score"))
+    val viaAgg = Similarity.rankTopK(df, col("query_id"), col("cand_id"), col("score"), 10)
+      .select("query_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("cand_id"))
+    val viaWindow = df.withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("cand_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaAgg == viaWindow)
+  }
+
   test("multimodal: stub decode plumbing — schema, batching, frame sampling") {
     val feats = Multimodal.features(Multimodal.gen(spark, 300))
     val rows = feats.collect()

@@ -58,6 +58,16 @@ class PlanChecksSpec extends AnyFunSuite {
       "query side must be broadcast for the corpus scan")
   }
 
+  test("ANN ranking is a partial bounded-heap aggregate, not a global window") {
+    Seq("s1_cosine_topk", "s2_ann_lsh", "s3_ann_ivf").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window"),
+        s"$q must not rank via a global window (shuffles every scored row):\n${p.take(600)}")
+      assert(p.contains("graft_topk") || p.contains("ObjectHashAggregate") ||
+        p.contains("SortAggregate"), s"$q must aggregate with the bounded top-k")
+    }
+  }
+
   test("as-of join is ONE hash shuffle regardless of side sizes") {
     import org.apache.spark.sql.functions._
     val ev = spark.read.parquet(s"$sf/events.parquet")
