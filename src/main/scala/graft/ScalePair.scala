@@ -73,7 +73,9 @@ object ScalePair {
     val result = new java.io.File(dir, s"$tag.result")
     val javaBin = new java.io.File(
       new java.io.File(System.getProperty("java.home"), "bin"), "java").getPath
-    val pin = cpuRange.toSeq.flatMap(r => Seq("taskset", "-c", r))
+    val pin = cpuRange.toSeq
+      .filter(_ => new java.io.File("/usr/bin/taskset").exists())
+      .flatMap(r => Seq("/usr/bin/taskset", "-c", r))
     // -Xms=-Xmx + AlwaysPreTouch: commit and zero the whole heap at
     // startup (Spark sets executor Xms=Xmx for the same reason) —
     // otherwise the first measured reps pay heap-growth page faults

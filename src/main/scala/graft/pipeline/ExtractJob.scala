@@ -39,7 +39,8 @@ object ExtractJob {
       groups: Int = 8,
       salts: Int = 8,
       commitId: String = "c0",
-      abortAfterGroup: Int = -1): Result = {
+      abortAfterGroup: Int = -1,
+      cache: String = "ser"): Result = {
     GraftSession.register(spark)
     val pages = ExtractPipeline.pages(spark, nDocs).toDF()
     val hot = ExtractPipeline.hotHosts(pages, math.min(nDocs, 2000L), 0.05, totalHint = nDocs)
@@ -55,9 +56,18 @@ object ExtractJob {
     // a bucketed source table the group filter prunes the SCAN instead
     // and no persist is needed; groups=1 is the pure single-pass path
     // (Spark task retry already covers executor loss within a job).
-    val staged =
-      if (groups > 1) out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-      else out
+    // cache mode for the multi-group re-reads: "ser" (serialized,
+    // memory-lean), "mem" (deserialized), "none" (recompute per
+    // group). Measured at 480k docs / 4 groups / 32 cores
+    // (XCommitProbe medians): ser 12.6 s, mem 16.5 s, none 25.0 s —
+    // serialized wins (deserialized rows blow the young gen; recompute
+    // pays 4× generation+extract), so "ser" stays the default.
+    val staged = cache match {
+      case _ if groups <= 1 => out
+      case "mem"  => out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      case "none" => out
+      case _      => out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    }
     val table = new IceTable(root, spark)
     val metrics = new JobMetrics(spark, s"extract-$commitId")
     metrics.logEvent(root, s"job_start docs=$nDocs buckets=$buckets groups=$groups hot_hosts=${hot.size}")
@@ -75,7 +85,7 @@ object ExtractJob {
           throw e
       } finally {
         spark.sparkContext.clearJobGroup()
-        if (groups > 1) staged.unpersist()
+        if (groups > 1 && cache != "none") staged.unpersist()
       }
     val lin = table.lineage(Some(snap))
       .agg(sum("rows").as("rows"), sum("error_rows").as("errs")).collect()(0)
