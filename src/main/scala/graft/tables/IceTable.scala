@@ -143,11 +143,18 @@ final class IceTable(val root: String, spark: SparkSession) {
     * snapshot's `lineage` stays per-commit (the DELTA's lineage). */
   def commitAppend(df: DataFrame, commitId: String, groups: Int = 1): Long = {
     val parent = currentSnapshotId.map(readSnapshot)
+    // replay safety: if the parent snapshot already carries this
+    // commitId's files (crash AFTER the flip, foreachBatch replays the
+    // batch), its row count already includes the delta — don't re-add
+    val parentHadThis =
+      parent.exists(_.files.exists(_.path.contains(s"/commit-$commitId/")))
     val parentFiles = parent.map(_.files).getOrElse(Nil)
       .filterNot(_.path.contains(s"/commit-$commitId/"))
     val (files, rows) = writeGroups(df, commitId, groups, -1)
+    val mergedRows = parent.map(_.rows).getOrElse(0L) +
+      (if (parentHadThis) 0L else rows)
     flipSnapshot(commitId, (parentFiles ++ files).sortBy(_.path),
-      rows + parent.map(_.rows).getOrElse(0L), df.columns.toSeq)
+      mergedRows, df.columns.toSeq)
   }
 
   private def writeGroups(df: DataFrame, commitId: String, groups: Int,

@@ -100,6 +100,24 @@ class IceTableSpec extends AnyFunSuite {
     }
   }
 
+  test("commitAppend replay of the same commitId is idempotent") {
+    import org.apache.spark.sql.functions._
+    val root = tmpRoot("append-replay")
+    val table = new IceTable(root, spark)
+    val df = spark.range(0, 50).select(col("id"),
+      pmod(col("id"), lit(4)).cast("int").as("bucket"),
+      lit(null).cast("string").as("error"), lit("t").as("text"))
+    table.commitAppend(df, "b0")
+    val s2 = table.commitAppend(df, "b1")
+    val before = table.readSnapshot(s2)
+    // foreachBatch replay after a crash-after-flip: same batch id again
+    val s3 = table.commitAppend(df, "b1")
+    val after = table.readSnapshot(s3)
+    assert(after.files.map(_.path) == before.files.map(_.path), "no duplicated files")
+    assert(after.rows == before.rows, "no double-counted rows")
+    assert(table.read(Some(s3)).count() == 100)
+  }
+
   test("snapshot schema: recorded per commit, validated on read, evolvable") {
     import org.apache.spark.sql.functions._
     val root = tmpRoot("schema")
