@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
 
 import graft.expr.{ExtractMainText, LangId, LshBucket, MinHashSig, SimHash64, Winnow}
 
@@ -13,6 +14,19 @@ import graft.expr.{ExtractMainText, LangId, LshBucket, MinHashSig, SimHash64, Wi
   */
 object GraftSession {
 
+  /** Evaluate a plan-time-literal argument with a clear analysis error:
+    * a non-foldable (column) or null argument to a literal slot (engine
+    * name, k) would otherwise surface as an obscure NPE at plan time. */
+  private def foldableArg(fn: String, pos: Int, e: Expression): Any = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$fn: argument ${pos + 1} must be a literal (plan-time constant), got ${e.sql}")
+    val v = e.eval(null)
+    if (v == null)
+      throw new IllegalArgumentException(s"$fn: argument ${pos + 1} must not be null")
+    v
+  }
+
   def register(spark: SparkSession): SparkSession = {
     val reg = spark.sessionState.functionRegistry
     // optional 3rd arg: engine name as a foldable string literal
@@ -24,7 +38,8 @@ object GraftSession {
       exprs => {
         val engine =
           if (exprs.length >= 3)
-            graft.extract.Engine.parse(exprs(2).eval(null).toString)
+            graft.extract.Engine.parse(
+              foldableArg("graft_extract", 2, exprs(2)).toString)
           else graft.extract.Engine.Default
         ExtractMainText(exprs.head, exprs(1), engine)
       },
@@ -49,8 +64,18 @@ object GraftSession {
     reg.createOrReplaceTempFunction(
       "graft_topk",
       exprs => {
-        val k = exprs(2).eval(null).asInstanceOf[Number].intValue()
-        graft.expr.TopKAgg(exprs.head, exprs(1), k)
+        val k = foldableArg("graft_topk", 2, exprs(2)) match {
+          case n: java.lang.Number => n.intValue()
+          case other => throw new IllegalArgumentException(
+            s"graft_topk: k must be an integer literal, got $other")
+        }
+        if (k < 0)
+          throw new IllegalArgumentException(s"graft_topk: k must be >= 0, got $k")
+        // analysis-time coercion: a float score / int id column casts
+        // cleanly; an uncastable type fails analysis, never a task
+        graft.expr.TopKAgg(
+          Cast(exprs.head, org.apache.spark.sql.types.DoubleType),
+          Cast(exprs(1), org.apache.spark.sql.types.LongType), k)
       },
       "scala_udf")
     spark

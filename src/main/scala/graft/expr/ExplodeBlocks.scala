@@ -22,7 +22,10 @@ import graft.html.{Boilerplate, FusedSegmenter}
   * PDF payloads (`%PDF` magic) explode to one content block per page
   * (mirroring Extractor.extractPdf: page lines joined "\n", blank
   * pages skipped, every page kept — PDFs have no classifier stage),
-  * so the block view covers every payload type the extractor does.
+  * and plain-text payloads (valid UTF-8, no markup) explode to one
+  * content block per blank-line paragraph (mirroring
+  * Extractor.extractPlain, part 1, every paragraph kept) — so the
+  * block view covers every payload type the extractor does.
   * Malformed payloads yield zero rows (the row-level error policy
   * lives in graft_extract; a generator cannot carry an error column
   * per input row without emitting phantom rows).
@@ -81,7 +84,17 @@ case class ExplodeBlocks(child: Expression)
             UTF8String.fromString(b.text), b.words, b.linkWords,
             keptSet.contains(i))
         }.toSeq
-      case _ => Nil
+      case Some(s) =>
+        // plain text: one content block per paragraph, part 1, every
+        // paragraph kept (Extractor.extractPlain — no boilerplate stage)
+        s.split("\n[ \t\r]*\n", -1).toSeq
+          .map(graft.html.BlockSegmenter.normalize).filter(_.nonEmpty)
+          .zipWithIndex.map { case (p, idx) =>
+            InternalRow(1, idx, UTF8String.fromString("content"),
+              UTF8String.fromString(p),
+              graft.html.BlockSegmenter.countWords(p), 0, true)
+          }
+      case None => Nil
     }
   }
 

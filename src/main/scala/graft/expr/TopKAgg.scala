@@ -32,6 +32,12 @@ case class TopKAgg(
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[TopKAgg.Buf] {
 
+  // Inputs must already be DOUBLE/BIGINT — GraftSession.register wraps
+  // the arguments in Casts so float scores / int ids coerce at analysis
+  // instead of failing as a raw asInstanceOf inside a task.
+  // (ImplicitCastInputTypes is unavailable here: Spark 4 makes
+  // AbstractDataType private[sql].)
+
   override def prettyName: String = "graft_topk"
 
   override def children: Seq[Expression] = Seq(scoreExpr, idExpr)

@@ -36,10 +36,16 @@ object Engine {
   case object Default extends Engine("default") // "Tesseract" analogue
   case object Alt extends Engine("alt")         // "EasyOCR" analogue
   case object Both extends Engine("both")       // "كلاهما"
+  /** Strict: an unknown engine string is an error, not a silent
+    * fallback to Default — the reference UI's engine combo can only
+    * hold the three valid values (main_window.py:450), so a typo'd
+    * engine arg must fail at analysis, never change semantics. */
   def parse(s: String): Engine = s match {
-    case "alt"  => Alt
-    case "both" => Both
-    case _      => Default
+    case "default" => Default
+    case "alt"     => Alt
+    case "both"    => Both
+    case other => throw new IllegalArgumentException(
+      s"unknown graft engine '$other' (expected default|alt|both)")
   }
 }
 

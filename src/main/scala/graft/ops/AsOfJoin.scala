@@ -14,6 +14,18 @@ import org.apache.spark.sql.functions._
   * shuffle (by key) regardless of table sizes — the scalable
   * alternative to a range-condition join, which Spark would plan as a
   * broadcast-nested-loop at large sizes.
+  *
+  * SKEW CONTRACT: the window partitions by `key`, so one
+  * pathologically hot key (say 50% of all rows) lands on a single task
+  * — and unlike a join, AQE cannot split a window partition, nor can
+  * the extraction pipeline's salting trick apply (the running fill is
+  * a cross-row computation over the whole key). Correctness is
+  * unaffected (AsOfJoinSkewSpec asserts it at 50% skew); wall-clock
+  * degrades to the hot key's row count. If a production key
+  * distribution has such a key, pre-split it by coarse time range
+  * (process each range separately, seeding each range with the
+  * latest dim row at its lower bound) — a range-bucketed variant that
+  * keeps the fill exact while bounding task size.
   */
 object AsOfJoin {
 

@@ -32,10 +32,17 @@ object Similarity {
     * ≤k entries, so only k rows per query per partition shuffle. The
     * round-1 `row_number().over(Window)` shape shuffled EVERY scored
     * row; ordering (score desc, id asc) is identical. Requires
-    * GraftSession.register. */
+    * GraftSession.register.
+    *
+    * NaN scores (cosine of a zero-norm embedding) are DROPPED before
+    * ranking: Spark's window desc sort ranks NaN first while the heap's
+    * `<` comparisons are always false for NaN, so admitting them would
+    * break the window equivalence — and a NaN similarity is meaningless
+    * as a neighbor anyway. */
   def rankTopK(scored: DataFrame, queryCol: Column, idCol: Column,
                scoreCol: Column, k: Int): DataFrame =
-    scored.groupBy(queryCol.as("query_id"))
+    scored.filter(!isnan(scoreCol))
+      .groupBy(queryCol.as("query_id"))
       .agg(call_function("graft_topk", scoreCol, idCol, lit(k)).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
       .select(col("query_id"), (col("pos") + 1).as("rank"),

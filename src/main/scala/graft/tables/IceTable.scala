@@ -89,11 +89,17 @@ final class IceTable(val root: String, spark: SparkSession) {
     // dir (each with its own basePath), unioned.
     val byCommit = snap.files
       .groupBy(f => commitDirOf(f.path).getOrElse(snap.commitId)).toSeq.sortBy(_._1)
+    // allowMissingColumns: an append chain whose commits carry
+    // different column sets reads as the union schema with nulls for
+    // the fields a commit predates — the Iceberg schema-evolution
+    // semantic (old data files simply lack new columns). The recorded-
+    // schema validation below still fails loudly if the union is
+    // missing a field the snapshot recorded.
     val df = byCommit.map { case (c, fsOfC) =>
       spark.read
         .option("basePath", s"$root/data/commit-$c")
         .parquet(fsOfC.map(_.path): _*)
-    }.reduce(_.unionByName(_)).drop("grp")
+    }.reduce(_.unionByName(_, allowMissingColumns = true)).drop("grp")
     snap.schemaFields.foreach { recorded =>
       val have = df.columns.toSet
       val missing = recorded.filterNot(have)
@@ -214,9 +220,18 @@ final class IceTable(val root: String, spark: SparkSession) {
     (files, rows)
   }
 
-  /** Atomic snapshot flip: write manifest to a temp name, rename into
-    * place, then advance the version hint — crash at any point leaves
-    * the previous snapshot intact and readable. */
+  /** Atomic snapshot flip: write the manifest to a committer-unique
+    * temp name, publish it to `snap-<n>.json` with create-if-absent
+    * semantics, then advance the version hint — a crash at any point
+    * leaves the previous snapshot intact and readable.
+    *
+    * Concurrency: two committers that both observed parent `n-1` race
+    * for the same `snap-<n>.json`; exactly one publish succeeds and the
+    * loser gets [[IceTable.ConcurrentCommitException]]. The loser's
+    * data/lineage dirs are unreferenced by any snapshot (safe to
+    * delete), and a retry of the same commit is cheap: finished-group
+    * markers skip the data rewrite, so only the manifest flip re-runs
+    * against the new parent. */
   private def flipSnapshot(commitId: String, files: Seq[DataFileEntry],
                            rows: Long, schemaFields: Seq[String]): Long = {
     val lineageDir = s"$root/metadata/lineage/$commitId"
@@ -225,12 +240,35 @@ final class IceTable(val root: String, spark: SparkSession) {
     val json = renderSnapshot(Snapshot(next, parent, commitId, files, rows, lineageDir,
       Some(schemaFields)))
     fs.mkdirs(metaDir)
-    val tmp = new Path(metaDir, s".snap-$next.json.tmp")
+    val tmp = new Path(metaDir, s".snap-$next.json.$commitId.tmp")
     val o = fs.create(tmp, true); o.write(json.getBytes("UTF-8")); o.close()
-    if (!fs.rename(tmp, snapPath(next)))
-      throw new IllegalStateException(s"concurrent commit detected for snap-$next")
+    if (!publishNew(tmp, snapPath(next)))
+      throw new IceTable.ConcurrentCommitException(next, commitId)
     val h = fs.create(hintPath, true); h.write(next.toString.getBytes("UTF-8")); h.close()
     next
+  }
+
+  /** Publish `tmp` as `dst` atomically, failing (false) if `dst`
+    * already exists. On `file://` this must be a hard link: POSIX
+    * rename(2) silently OVERWRITES an existing destination, so the
+    * local-FS rename cannot detect a concurrent commit (HDFS rename
+    * already has fail-if-exists semantics). Object stores without
+    * atomic create-if-absent need a catalog for this CAS — exactly why
+    * Iceberg puts the pointer swap in a catalog, not the FS. */
+  private[tables] def publishNew(tmp: Path, dst: Path): Boolean = {
+    if ("file".equals(fs.getUri.getScheme)) {
+      val t = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri)
+      val d = java.nio.file.Paths.get(fs.makeQualified(dst).toUri)
+      try {
+        java.nio.file.Files.createLink(d, t)
+        fs.delete(tmp, false)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          fs.delete(tmp, false)
+          false
+      }
+    } else fs.rename(tmp, dst)
   }
 
   /** Compact the current snapshot: rewrite every live file into one
@@ -350,6 +388,13 @@ final class IceTable(val root: String, spark: SparkSession) {
 }
 
 object IceTable {
+  /** A racing committer published this snapshot id first. The failed
+    * commit's data dirs are unreferenced (expirable); retrying the
+    * commit is cheap — finished-group markers skip the data rewrite. */
+  final class ConcurrentCommitException(val snapshotId: Long, val commitId: String)
+      extends IllegalStateException(
+        s"concurrent commit detected: snap-$snapshotId already published (commit $commitId lost the race)")
+
   final case class DataFileEntry(path: String, bytes: Long)
   final case class Snapshot(
       id: Long,

@@ -118,6 +118,75 @@ class IceTableSpec extends AnyFunSuite {
     assert(table.read(Some(s3)).count() == 100)
   }
 
+  test("append chain with evolved schema reads as union with nulls") {
+    import org.apache.spark.sql.functions._
+    val root = tmpRoot("append-evolve")
+    val table = new IceTable(root, spark)
+    val df1 = spark.range(0, 40).select(col("id"),
+      pmod(col("id"), lit(4)).cast("int").as("bucket"),
+      lit(null).cast("string").as("error"), lit("t").as("text"))
+    table.commitAppend(df1, "e0")
+    // the second append ADDS a column: the chained read must be the
+    // union schema with nulls where the older commit predates it
+    // (Iceberg schema evolution), not a generic unionByName failure
+    val s = table.commitAppend(df1.withColumn("lang", lit("en")), "e1")
+    val out = table.read(Some(s))
+    assert(out.count() == 80)
+    assert(out.columns.contains("lang"))
+    assert(out.filter(col("lang").isNull).count() == 40)
+    assert(out.filter(col("lang") === "en").count() == 40)
+  }
+
+  test("two racing committers: never a lost snapshot; loser's data expirable") {
+    import org.apache.spark.sql.functions._
+    val root = tmpRoot("race")
+    val df = spark.range(0, 30).select(col("id"),
+      pmod(col("id"), lit(2)).cast("int").as("bucket"),
+      lit(null).cast("string").as("error"), lit("t").as("text"))
+    // Two committers start on a barrier. Legal outcomes: (a) they
+    // overlap → one wins snap-0, the other throws
+    // ConcurrentCommitException (the usual case — the data-write phase
+    // dominates, so the parent reads overlap); (b) one finishes
+    // entirely before the other flips → both land, snapshots 0 and 1.
+    // What must NEVER happen is the POSIX-rename trap: both "succeed"
+    // while one manifest was silently overwritten. The deterministic
+    // CAS-primitive test lives in IceTableCasSpec.
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val results = new java.util.concurrent.ConcurrentHashMap[String, Either[Throwable, Long]]()
+    val threads = Seq("racer-a", "racer-b").map { id =>
+      new Thread(() => {
+        val t = new IceTable(root, spark) // each committer its own handle
+        barrier.await()
+        try results.put(id, Right(t.commit(df, id, groups = 1)))
+        catch { case e: Throwable => results.put(id, Left(e)) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(180000))
+    val outcome = Seq("racer-a", "racer-b").map(id => id -> results.get(id)).toMap
+    val winners = outcome.collect { case (id, Right(snap)) => id -> snap }
+    val losers = outcome.collect { case (id, Left(e)) => id -> e }
+    val table = new IceTable(root, spark)
+    // every snapshot that reports success must exist with ITS OWN
+    // commit — a silently overwritten manifest fails here
+    winners.foreach { case (id, snap) =>
+      assert(table.readSnapshot(snap).commitId == id,
+        s"committer $id reported snap $snap but the manifest belongs to " +
+          table.readSnapshot(snap).commitId)
+    }
+    assert(winners.nonEmpty, s"at least one commit must land: $outcome")
+    assert(table.read().count() == 30)
+    if (losers.nonEmpty) {
+      val (loserId, e) = losers.head
+      assert(e.isInstanceOf[IceTable.ConcurrentCommitException], s"loser: $e")
+      // the loser's data dir is referenced by NO snapshot → expirable
+      assert(table.snapshots.map(table.readSnapshot).forall(
+        s => !s.files.exists(_.path.contains(s"commit-$loserId/"))))
+      // and a plain RETRY lands: group markers skip the data rewrite
+      val retried = table.commit(df, loserId, groups = 1)
+      assert(retried == table.snapshots.max && table.read().count() == 30)
+    }
+  }
+
   test("snapshot schema: recorded per commit, validated on read, evolvable") {
     import org.apache.spark.sql.functions._
     val root = tmpRoot("schema")

@@ -164,6 +164,53 @@ class OpsSpec extends AnyFunSuite {
     assert(viaAgg == viaWindow)
   }
 
+  test("graft_topk: NaN scores are dropped, not ranked inconsistently") {
+    import org.apache.spark.sql.expressions.Window
+    GraftSession.register(spark)
+    // every 5th candidate gets a NaN score (a zero-norm embedding's
+    // cosine); rankTopK must drop them — the window desc sort would
+    // rank NaN FIRST while the heap would never admit/evict them
+    val df = spark.range(0, 500, 1, 8).select(
+      (col("id") % 3).as("query_id"),
+      col("id").as("cand_id"),
+      when(col("id") % 5 === 0, lit(Double.NaN))
+        .otherwise((col("id") * 37 % 101).cast("double") / 100.0).as("score"))
+    val viaAgg = Similarity.rankTopK(df, col("query_id"), col("cand_id"), col("score"), 10)
+      .select("query_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val clean = df.filter(!isnan(col("score")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("cand_id"))
+    val viaWindow = clean.withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("cand_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaAgg == viaWindow)
+    assert(viaAgg.nonEmpty)
+    // no NaN-scored candidate survives
+    assert(viaAgg.forall { case (_, _, id) => id % 5 != 0 })
+  }
+
+  test("literal-arg validation: clear errors, analysis-time coercion") {
+    import spark.implicits._
+    GraftSession.register(spark)
+    val df = Seq((1L, 2L)).toDF("a", "b")
+    // non-literal k → clear IllegalArgumentException, not an NPE
+    val e1 = intercept[Exception] {
+      df.select(call_function("graft_topk", col("a").cast("double"), col("b"), col("b"))).collect()
+    }
+    assert(e1.getMessage.contains("must be a literal"), e1.getMessage)
+    // float score / int id coerce at analysis (Cast wrap) — no task crash
+    val ok = spark.range(0, 10).select(lit(1L).as("q"),
+        col("id").cast("int").as("cid"), (col("id") % 3).cast("float").as("s"))
+    val out = Similarity.rankTopK(ok, col("q"), col("cid"), col("s"), 3).collect()
+    assert(out.length == 3)
+    // unknown engine string → analysis error, never silent Default
+    val e2 = intercept[Exception] {
+      spark.range(1).select(call_function("graft_extract",
+        lit("x".getBytes("UTF-8")), lit("en"), lit("tesseract"))).collect()
+    }
+    assert(e2.getMessage.contains("unknown graft engine"), e2.getMessage)
+  }
+
   test("multimodal: stub decode plumbing — schema, batching, frame sampling") {
     val feats = Multimodal.features(Multimodal.gen(spark, 300))
     val rows = feats.collect()

@@ -68,6 +68,23 @@ class RobustnessSpec extends AnyFunSuite {
     }
   }
 
+  test("ExplodeBlocks mirrors extractPlain for plain-text payloads") {
+    val spark = GraftSession.local(4, "graft-robust")
+    GraftSession.register(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val plain = "first paragraph of words\n\nsecond  paragraph\n \nthird"
+    val rows = Seq(plain).toDF("s")
+      .select(expr("graft_explode_blocks(encode(s, 'UTF-8'))"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getString(3), r.getBoolean(6)))
+    val oracle = Extractor.extractPlain(plain)
+    // same paragraph blocks, all kept, part 1 (extractPlain contract)
+    val oracleBlocks = oracle.spans.map(s => oracle.text.substring(s.start, s.end))
+    assert(rows.map(_._4).toSeq == oracleBlocks, s"blocks: ${rows.toSeq}")
+    assert(rows.forall(r => r._1 == 1 && r._3 == "content" && r._5))
+    assert(rows.map(_._2).toSeq == rows.indices.toSeq)
+  }
+
   test("unicode trim handles NBSP like Python str.strip") {
     import graft.html.BlockSegmenter.unicodeTrim
     assert(unicodeTrim(" \u00A0x\u00A0 \t\n") == "x")
