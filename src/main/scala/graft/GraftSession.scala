@@ -58,6 +58,9 @@ object GraftSession {
       "graft_explode_blocks", exprs => graft.expr.ExplodeBlocks(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction(
       "graft_shingles", exprs => graft.expr.Shingles(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_make_pdf",
+      exprs => graft.expr.MakePdf(exprs.head, exprs(1), exprs(2)), "scala_udf")
     // bounded top-k aggregate (scale-safe ANN ranking): 3rd arg is the
     // plan-time literal k; the analyzer wraps the returned
     // AggregateFunction like any built-in aggregate

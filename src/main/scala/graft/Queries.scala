@@ -163,6 +163,30 @@ object Queries {
           size(col("r.spans")).as("n_spans"), col("r.error").as("error"))
         .orderBy("doc_id")
     }),
+    // DRIVER-ATTESTED PDF path (VERDICT r2 #1 — the last self-attested
+    // pipeline branch): build a deterministic two-page PDF from each
+    // documents-table row (page 1 raw /Length stream with escape-worthy
+    // literal strings, page 2 FlateDecode + a hex string) and run the
+    // REAL %PDF dispatch → PdfSpans parse → assembly. Every 10th doc
+    // gets a streamless PDF instead, planting the PdfParseException
+    // error-as-row branch. The oracle predicts text, span count, and
+    // the exact error message from the same input columns.
+    "x10_pdf_roundtrip" -> ((s, dir) => {
+      GraftSession.register(s)
+      val pdf = call_function("graft_make_pdf",
+        concat(lit("Doc "), col("doc_id"), lit(" (x) \\ ok")),
+        col("text"),
+        concat(lit("Page two of "), col("doc_id")))
+      val payload = when(col("doc_id") % 10 === 0,
+          lit("%PDF-1.4\nan empty pdf body here\n%%EOF\n".getBytes("UTF-8")))
+        .otherwise(pdf)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          call_function("graft_extract", payload, col("lang")).as("r"))
+        .select(col("doc_id"), col("r.text").as("text"),
+          size(col("r.spans")).as("n_spans"), col("r.error").as("error"))
+        .orderBy("doc_id")
+    }),
     // north rule: bucket+salt layout columns
     "x4_extract_bucketed" -> ((s, _) => {
       GraftSession.register(s)
@@ -581,6 +605,25 @@ object Queries {
         |SELECT doc_id, 1 AS span_idx, h + hl + 1 AS start,
         |       h + hl + 1 + len(t) AS "end", 'content' AS kind FROM base
         |ORDER BY doc_id, span_idx""".stripMargin,
+    // PDF roundtrip: page 1 = "Doc N (x) \ ok" + the document text
+    // (one content block per page: lines join with \n inside the
+    // block), page 2 = "Page two of N" + the fixed hex-decoded line;
+    // parts join with the صفحة header format. documents.text is
+    // already whitespace-normalized (probed: no runs/tabs/NBSP), so
+    // normalize(text) = text. Streamless every-10th rows surface the
+    // reference-format parse error.
+    "x10_pdf_roundtrip" ->
+      """SELECT d.doc_id,
+        | CASE WHEN d.doc_id % 10 = 0 THEN NULL
+        |   ELSE '--- صفحة 1 ---' || chr(10) || 'Doc ' || d.doc_id || ' (x) \ ok'
+        |     || chr(10) || d.text || chr(10) || chr(10)
+        |     || '--- صفحة 2 ---' || chr(10) || 'Page two of ' || d.doc_id
+        |     || chr(10) || 'hex ok'
+        | END AS text,
+        | CASE WHEN d.doc_id % 10 = 0 THEN 0 ELSE 2 END AS n_spans,
+        | CASE WHEN d.doc_id % 10 = 0 THEN 'حدث خطأ: pdf: no content streams'
+        |      ELSE NULL END AS error
+        |FROM documents d ORDER BY d.doc_id""".stripMargin,
     // dual-engine: ≥15 words → both engines keep (heading+body twice,
     // engine outputs concatenated with NO separator); 8-14 words →
     // alt engine only; <8 → empty

@@ -68,6 +68,35 @@ class RobustnessSpec extends AnyFunSuite {
     }
   }
 
+  test("PdfGen roundtrip: adversarial strings through the real extractor") {
+    import graft.pdf.PdfGen
+    val cases = Seq(
+      "plain words here",
+      "parens (nested (deep)) and \\ backslash",
+      "the word stream and endstream inside the text",
+      "a /Length 99 impostor token",
+      "unicode: 文字 عربية é ß",
+      "multi\nline\ttext  with   runs",
+      "")
+    cases.foreach { body =>
+      val pdf = PdfGen.makePdf(Seq(
+        PdfGen.Page(Seq(PdfGen.Line("L1"), PdfGen.Line(body)), flate = false),
+        PdfGen.Page(Seq(PdfGen.Line("P2"), PdfGen.Line("hex ok", PdfGen.HexStr)),
+          flate = true)))
+      val r = Extractor.extract(pdf, "en")
+      assert(r.error == null, s"body='$body': ${r.error}")
+      val normBody = graft.html.BlockSegmenter.normalize(body)
+      val expected =
+        "--- صفحة 1 ---\nL1\n" + normBody + "\n\n--- صفحة 2 ---\nP2\nhex ok"
+      assert(r.text == expected, s"body='$body': got '${r.text}'")
+      assert(r.spans.length == 2 && r.spans.forall(_.kind == "content"))
+    }
+    // streamless pdf → the reference-format error row (x10 plants this)
+    val bad = Extractor.extract(
+      "%PDF-1.4\nan empty pdf body here\n%%EOF\n".getBytes("UTF-8"), "en")
+    assert(bad.error == "حدث خطأ: pdf: no content streams")
+  }
+
   test("ExplodeBlocks mirrors extractPlain for plain-text payloads") {
     val spark = GraftSession.local(4, "graft-robust")
     GraftSession.register(spark)
