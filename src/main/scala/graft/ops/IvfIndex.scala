@@ -49,11 +49,26 @@ object IvfIndex {
         (array_position(col("d__"), array_min(col("d__"))) - 1).cast("int"))
       .drop("d__")
 
+  /** Fixed-point scale (2^20) for deterministic re-centering: element
+    * sums accumulate as exact scaled integers, making the centroid
+    * BIT-EXACT regardless of row order, partitioning, or parallelism —
+    * integer addition is associative where IEEE addition is not. This
+    * is what lets the driver's DuckDB oracle recompute the whole
+    * training loop (VERDICT r2 #3). Precision cost is ~1e-6 per
+    * element on unit-scale embeddings — far below k-means' own
+    * tolerance (spec: recall unchanged). Headroom: |v|≤2 ⇒ a partial
+    * overflows long only past ~2^41 rows per cluster per partition;
+    * a partition is bounded by maxPartitionBytes, so unreachable. */
+  val QuantScale = 1048576.0 // 2^20
+
+  @inline private def quant(v: Double): Long = math.floor(v * QuantScale + 0.5).toLong
+
   /** Train k centroids with `iters` Lloyd iterations. Re-centering
-    * aggregates (count, element-wise sum) per partition and merges the
-    * k×partitions partials on the driver — one narrow pass per
-    * iteration, no posexplode (the round-1 shape shuffled dim× the
-    * data volume), no wide shuffle at all. */
+    * aggregates (count, element-wise quantized sum) per partition and
+    * merges the k×partitions partials on the driver — one narrow pass
+    * per iteration, no posexplode (the round-1 shape shuffled dim× the
+    * data volume), no wide shuffle at all. Deterministic at any
+    * parallelism (see QuantScale). */
   def train(emb: DataFrame, k: Int, iters: Int): Centroids = {
     val spark = emb.sparkSession
     import spark.implicits._
@@ -66,16 +81,16 @@ object IvfIndex {
       val partials = assign(emb, cents)
         .select(col("cluster"), col("embedding")).as[(Int, Array[Float])]
         .mapPartitions { rows =>
-          val acc = new java.util.HashMap[Int, (Long, Array[Double])]()
+          val acc = new java.util.HashMap[Int, (Long, Array[Long])]()
           rows.foreach { case (c, v) =>
             val e = acc.get(c)
             if (e == null) {
-              val s = new Array[Double](v.length)
-              var i = 0; while (i < v.length) { s(i) = v(i).toDouble; i += 1 }
+              val s = new Array[Long](v.length)
+              var i = 0; while (i < v.length) { s(i) = quant(v(i).toDouble); i += 1 }
               acc.put(c, (1L, s))
             } else {
               val (n, s) = e
-              var i = 0; while (i < v.length) { s(i) += v(i).toDouble; i += 1 }
+              var i = 0; while (i < v.length) { s(i) += quant(v(i).toDouble); i += 1 }
               acc.put(c, (n + 1L, s))
             }
           }
@@ -84,7 +99,7 @@ object IvfIndex {
             (e.getKey, e.getValue._1, e.getValue._2))
         }
         .collect() // k × partitions rows — provably small
-      val merged = new Array[(Long, Array[Double])](cents.k)
+      val merged = new Array[(Long, Array[Long])](cents.k)
       partials.foreach { case (c, n, s) =>
         val cur = merged(c)
         if (cur == null) merged(c) = (n, s.clone())
@@ -96,7 +111,9 @@ object IvfIndex {
       val next = cents.cents.indices.map { c =>
         merged(c) match {
           case null => cents.cents(c) // empty cluster keeps its centroid
-          case (n, s) => s.map(_ / n)
+          // the exact expression the oracle mirrors:
+          // (CAST(sum AS DOUBLE) / CAST(n AS DOUBLE)) / 2^20
+          case (n, s) => s.map(x => (x.toDouble / n.toDouble) / QuantScale)
         }
       }.toArray
       cents = Centroids(next)

@@ -167,7 +167,9 @@ object OpsQueries {
         .filter(col("shared_fp") >= 8)
         .orderBy("id_a", "id_b")
     }),
-    // IVF ANN: k-means coarse quantizer + nprobe inverted-list search
+    // IVF ANN: k-means coarse quantizer + nprobe inverted-list search.
+    // Training is deterministic at any parallelism (quantized
+    // re-centering) and fully recomputed by the DuckDB oracle.
     "s3_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val centroids = IvfIndex.train(emb, k = 16, iters = 2)
@@ -368,6 +370,83 @@ object OpsQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Full IVF-ANN recomputation (s3), 2 Lloyd iterations: first-16-
+    * by-id init → row-local argmin assignment (ties: lowest cluster,
+    * the array_position semantic) → QUANTIZED re-centering (2^20
+    * fixed point: exact integer sums make training order- and
+    * partitioning-independent on the Spark side — IvfIndex.QuantScale
+    * — and exactly recomputable here) → nprobe=4 probe selection →
+    * cosine in the engine's left-fold order → (score desc, id asc)
+    * rank. Matches s3 bit-for-bit. */
+  private lazy val s3OracleSql: String = {
+    val dim = 64
+    val k = 16
+    // squared-L2 of every `src` row to centroid table `cents(cl, c)`,
+    // then nearest cluster — identical fold + tie-break to
+    // IvfIndex.dists/assign
+    def assignCtes(src: String, where: String, cents: String, out: String): String =
+      s"""${out}_d AS (
+         | SELECT s.vec_id, c.cl,
+         |  list_reduce(list_transform(range(1, ${dim + 1}),
+         |    i -> (CAST(s.embedding[i] AS DOUBLE) - c.c[i]) *
+         |         (CAST(s.embedding[i] AS DOUBLE) - c.c[i])),
+         |   (a, x) -> a + x) AS d
+         | FROM $src s, $cents c$where),
+         |$out AS (
+         | SELECT vec_id, cl AS cluster FROM (
+         |  SELECT vec_id, cl,
+         |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn
+         |  FROM ${out}_d) WHERE rn = 1)""".stripMargin
+    // quantized re-centering; empty clusters keep the previous centroid
+    def recenterCtes(asg: String, prev: String, out: String): String =
+      s"""${out}_s AS (
+         | SELECT a.cluster AS cl, i, COUNT(*) AS n,
+         |  SUM(CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) AS s
+         | FROM embeddings e JOIN $asg a USING (vec_id),
+         |      (SELECT unnest(range(1, ${dim + 1})) AS i) dims
+         | GROUP BY a.cluster, i),
+         |${out}_n AS (
+         | SELECT cl, list((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / 1048576.0 ORDER BY i) AS c
+         | FROM ${out}_s GROUP BY cl),
+         |$out AS (
+         | SELECT p.cl, COALESCE(n.c, p.c) AS c
+         | FROM $prev p LEFT JOIN ${out}_n n ON n.cl = p.cl)""".stripMargin
+    def dot(a: String, b: String): String =
+      s"""list_reduce(list_transform(range(1, ${dim + 1}),
+         |   i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (a, x) -> a + x)""".stripMargin
+    s"""WITH c0 AS (
+       | SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cl,
+       |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+       | FROM embeddings ORDER BY vec_id LIMIT $k),
+       |${assignCtes("embeddings", "", "c0", "a1")},
+       |${recenterCtes("a1", "c0", "c1")},
+       |${assignCtes("embeddings", "", "c1", "a2")},
+       |${recenterCtes("a2", "c1", "c2")},
+       |${assignCtes("embeddings", "", "c2", "corpus_asg")},
+       |${assignCtes("embeddings", " WHERE s.vec_id < 5", "c2", "q_asg")},
+       |qp AS (
+       | SELECT vec_id AS query_id, cl AS cluster FROM (
+       |  SELECT vec_id, cl,
+       |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn
+       |  FROM q_asg_d) WHERE rn <= 4),
+       |scored AS (
+       | SELECT qp.query_id, ca.vec_id AS neighbor_id,
+       |  ${dot("q.embedding", "ce.embedding")} /
+       |  (sqrt(${dot("q.embedding", "q.embedding")}) *
+       |   sqrt(${dot("ce.embedding", "ce.embedding")})) AS cosine
+       | FROM qp
+       | JOIN embeddings q ON q.vec_id = qp.query_id
+       | JOIN corpus_asg ca ON ca.cluster = qp.cluster
+       | JOIN embeddings ce ON ce.vec_id = ca.vec_id
+       | WHERE qp.query_id <> ca.vec_id),
+       |ranked AS (
+       | SELECT query_id, neighbor_id,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       | FROM scored)
+       |SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Full winnowing recomputation (Schleimer et al.): char-8-gram FNV →
     * mix → signed min per non-overlapping 16-window (integer division
     * groups the tail window automatically) → distinct fingerprints →
@@ -401,6 +480,7 @@ object OpsQueries {
        |ORDER BY id_a, id_b""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "s3_ann_ivf" -> s3OracleSql,
     "d3_minhash_lsh" -> d3OracleSql,
     "d4_simhash" -> d4OracleSql,
     "s2_ann_lsh" -> s2OracleSql,
