@@ -7,17 +7,23 @@ import org.apache.spark.sql.functions._
   * payloads with typed metadata, plus decode/feature-extract/
   * frame-sample stages.
   *
-  * The decode kernels are STUBS (this container has no image/audio
-  * libraries — see the builder brief): `decodeStub` parses our
-  * deterministic fake header and derives a fake feature vector from
-  * payload bytes. Everything Spark-side is real and tested: schema,
-  * typed Dataset stages, partition-preserving mapPartitions batch
-  * shape (one decoder init per partition, the Pandas-UDF-equivalent
-  * batching discipline), and the explode shape for frame sampling.
+  * The IMAGE branch is a REAL decoder: payloads are real PNG bytes and
+  * decode goes through `javax.imageio` (JDK-bundled — no external
+  * library needed), with width/height/features computed from actual
+  * decoded pixels. Audio/video decode kernels remain STUBS (no
+  * audio/video codecs ship with the JDK or this container): header
+  * parse is real, the "sample decode" is a deterministic byte
+  * histogram standing in for a codec, behind the clearly-marked seam
+  * below. Everything Spark-side is real and tested either way:
+  * schema, typed Dataset stages, partition-preserving mapPartitions
+  * batch shape (one decoder init per partition, the Pandas-UDF-
+  * equivalent batching discipline), error-as-row, and the explode
+  * shape for frame sampling.
   */
 object Multimodal {
 
-  /** Opaque media row. `payload` layout (fake, deterministic):
+  /** Opaque media row. Image payloads are real PNG bytes; audio/video
+    * payloads use the fake container layout:
     * magic "GMM0" | kind byte | width int32 BE | height int32 BE |
     * nFrames int32 BE | body bytes. */
   final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
@@ -28,11 +34,18 @@ object Multimodal {
 
   val Kinds = Array("image", "audio", "video")
 
-  /** Deterministic fake media generator. Header fields are simple
+  // keep encode/decode fully in-memory (ImageIO defaults to a disk
+  // cache per operation — pure overhead for byte-array payloads)
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Deterministic media generator. Dimension/frame fields are simple
     * modular arithmetic of the id (NOT a PRNG) so the decoded metadata
     * is independently recomputable by the driver's DuckDB oracle —
-    * m1/m2 are hash-compared end to end, not rows-only. Every 50th+7
-    * row gets a corrupted magic, planting the error-as-row path. */
+    * m1/m2 are hash-compared end to end, not rows-only. Images are
+    * REAL PNGs (deterministic pixel pattern) so the imageio decode
+    * path runs on every image row. Every 50th+7 row gets a corrupted
+    * payload (truncated PNG for images, bad magic for audio/video),
+    * planting the error-as-row path. */
   def gen(spark: SparkSession, n: Long): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(0L, n).map { id =>
@@ -40,38 +53,88 @@ object Multimodal {
       val w = (16 + (id * 37) % 512).toInt
       val h = (16 + (id * 73) % 512).toInt
       val frames = if (kind == "video") (1 + (id * 91) % 240).toInt else 1
-      val bodyLen = (64 + (id * 29) % 192).toInt
-      val body = Array.tabulate[Byte](bodyLen)(i => ((id * 131 + i * 7) % 256).toByte)
-      val magic = if (id % 50 == 7) "GMMX" else "GMM0" // planted bad rows
-      val bb = java.nio.ByteBuffer.allocate(4 + 1 + 12 + body.length)
-      bb.put(magic.getBytes("US-ASCII")).put(kind.charAt(0).toByte)
-        .putInt(w).putInt(h).putInt(frames).put(body)
-      MediaRow(id, kind, bb.array())
+      val planted = id % 50 == 7
+      val payload =
+        if (kind == "image") {
+          val png = makePng(w, h, id)
+          if (planted) java.util.Arrays.copyOfRange(png, 0, 20) // truncated PNG
+          else png
+        } else {
+          val bodyLen = (64 + (id * 29) % 192).toInt
+          val body = Array.tabulate[Byte](bodyLen)(i => ((id * 131 + i * 7) % 256).toByte)
+          val magic = if (planted) "GMMX" else "GMM0"
+          val bb = java.nio.ByteBuffer.allocate(4 + 1 + 12 + body.length)
+          bb.put(magic.getBytes("US-ASCII")).put(kind.charAt(0).toByte)
+            .putInt(w).putInt(h).putInt(frames).put(body)
+          bb.array()
+        }
+      MediaRow(id, kind, payload)
     }
   }
 
-  /** STUB decode: header parse is real; the "pixel decode" is a
-    * deterministic hash-derived feature vector standing in for a
-    * real image/audio decoder (`???` seam, clearly marked). */
-  private def decodeStub(payload: Array[Byte]): Either[String, (Int, Int, Int, Array[Float])] = {
-    if (payload == null || payload.length < 17 ||
+  /** Deterministic w×h RGB PNG: pixel (x,y) = gray((x*31+y*17+id)%256). */
+  def makePng(w: Int, h: Int, id: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((x * 31 + y * 17 + id) % 256).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream(w * h / 4 + 64)
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  @inline private def isPng(b: Array[Byte]): Boolean =
+    b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+
+  /** Decode one payload. Images: REAL imageio decode — metadata and the
+    * 8-bin red-channel histogram come from decoded pixels; a payload
+    * imageio cannot parse is `bad image`. Audio/video: real header
+    * parse, stubbed sample decode (seam below). */
+  private def decode(payload: Array[Byte]): Either[String, (Int, Int, Int, Array[Float])] = {
+    if (payload == null || payload.length < 8) return Left("bad magic")
+    if (isPng(payload)) {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: Exception => null }
+      if (img == null) return Left("bad image")
+      val feat = new Array[Float](8)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          feat(((img.getRGB(x, y) >> 16) & 0xff) >> 5) += 1f
+          x += 1
+        }
+        y += 1
+      }
+      return Right((img.getWidth, img.getHeight, 1, feat))
+    }
+    if (payload.length < 17 ||
         payload(0) != 'G' || payload(1) != 'M' || payload(2) != 'M' || payload(3) != '0')
       return Left("bad magic")
     val bb = java.nio.ByteBuffer.wrap(payload, 5, 12)
     val w = bb.getInt; val h = bb.getInt; val frames = bb.getInt
     if (w <= 0 || h <= 0 || frames <= 0) return Left("bad header")
-    // --- real decoder seam: replace from here ---------------------
-    // val pixels = ??? // e.g. javax.imageio / ffmpeg — not in container
+    // --- real audio/video decoder seam: replace from here -----------
+    // val samples = ??? // e.g. ffmpeg bindings — not in container/JDK
     // deterministic fake: 8-dim byte-histogram feature from the body
     val feat = new Array[Float](8)
     var i = 17
     while (i < payload.length) { feat((payload(i) & 0xff) % 8) += 1f; i += 1 }
-    // --------------------------------------------------------------
+    // -----------------------------------------------------------------
     Right((w, h, frames, feat))
   }
 
   /** Feature extraction as a partition-batched typed stage: the
-    * decoder (in real life: native lib handle) is initialized once per
+    * decoder (for codecs: a native lib handle) is initialized once per
     * partition, rows stream through — the mapInPandas batch shape in
     * Dataset form. Decode failures are error-as-row, never task
     * failures (policy from ocr_parallel_ui.py:33-34). */
@@ -80,7 +143,7 @@ object Multimodal {
     media.mapPartitions { it =>
       // per-partition decoder init would go here (lazy native handle)
       it.map { m =>
-        decodeStub(m.payload) match {
+        decode(m.payload) match {
           case Right((w, h, f, feat)) =>
             MediaFeatures(m.media_id, m.kind, w, h, f, feat, null)
           case Left(err) =>

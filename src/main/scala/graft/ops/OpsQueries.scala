@@ -604,7 +604,9 @@ object OpsQueries {
         | CASE WHEN media_id % 50 = 7 THEN -1
         |      WHEN media_id % 3 = 2 THEN 1 + (media_id * 91) % 240 ELSE 1 END AS n_frames,
         | CASE WHEN media_id % 50 = 7 THEN 0 ELSE 8 END AS feat_dim,
-        | CASE WHEN media_id % 50 = 7 THEN 'bad magic' ELSE NULL END AS decode_error
+        | CASE WHEN media_id % 50 = 7
+        |      THEN CASE WHEN media_id % 3 = 0 THEN 'bad image' ELSE 'bad magic' END
+        |      ELSE NULL END AS decode_error
         |FROM range(0, 300) t(media_id) ORDER BY media_id""".stripMargin,
     "m2_frame_sample" ->
       """SELECT media_id, frame_idx FROM (

@@ -211,16 +211,26 @@ class OpsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("unknown graft engine"), e2.getMessage)
   }
 
-  test("multimodal: stub decode plumbing — schema, batching, frame sampling") {
+  test("multimodal: real image decode + stub a/v plumbing, frame sampling") {
     val feats = Multimodal.features(Multimodal.gen(spark, 300))
     val rows = feats.collect()
     assert(rows.length == 300)
-    // gen plants a corrupted magic every 50th+7 row (error-as-row path,
-    // DuckDB-oracled in m1); everything else decodes cleanly
+    // gen plants a corrupted payload every 50th+7 row (error-as-row
+    // path, DuckDB-oracled in m1); everything else decodes cleanly
     val (bad50, good) = rows.partition(_.media_id % 50 == 7)
-    assert(bad50.nonEmpty && bad50.forall(_.decode_error == "bad magic"))
+    assert(bad50.nonEmpty && bad50.forall(r =>
+      r.decode_error == (if (r.kind == "image") "bad image" else "bad magic")))
+    assert(bad50.exists(_.kind == "image"), "planted errors must hit the image path too")
     assert(good.forall(_.decode_error == null))
     assert(good.forall(r => r.width >= 16 && r.height >= 16 && r.feature.length == 8))
+    // image metadata comes from REAL imageio decode of real PNG pixels;
+    // the feature is the full pixel histogram (sums to w*h)
+    val images = good.filter(_.kind == "image")
+    assert(images.nonEmpty)
+    images.foreach { r =>
+      assert(r.width == (16 + (r.media_id * 37) % 512).toInt, s"id=${r.media_id}")
+      assert(r.feature.sum == r.width.toFloat * r.height, s"id=${r.media_id}")
+    }
     val frames = Multimodal.frameSample(feats.toDF(), 24).collect()
     assert(frames.nonEmpty)
     val videos = good.filter(_.kind == "video")
@@ -231,5 +241,20 @@ class OpsSpec extends AnyFunSuite {
     val bad = Multimodal.features(Seq(
       Multimodal.MediaRow(99L, "image", Array[Byte](1, 2, 3))).toDS()).collect()
     assert(bad.head.decode_error != null)
+  }
+
+  test("multimodal: decodes a non-synthetic hand-built PNG fixture") {
+    import spark.implicits._
+    // 3x2 RGB PNG written by hand (IHDR/IDAT/IEND, zlib-deflated
+    // scanlines — NOT produced by Multimodal.makePng/imageio), pixels:
+    // (255,0,0)(0,255,0)(0,0,255) / (10,20,30)(40,50,60)(200,200,200)
+    val png = java.util.Base64.getDecoder.decode(
+      "iVBORw0KGgoAAAANSUhEUgAAAAMAAAACCAIAAAASFvFNAAAAGElEQVR4nGP4z8DAAMFcInIaRjYnTpwAADY9Bij3fWhVAAAAAElFTkSuQmCC")
+    val out = Multimodal.features(
+      Seq(Multimodal.MediaRow(1L, "image", png)).toDS()).collect().head
+    assert(out.decode_error == null)
+    assert(out.width == 3 && out.height == 2 && out.n_frames == 1)
+    // red-channel histogram (>>5 bins) of the known pixels
+    assert(out.feature.toSeq == Seq(3f, 1f, 0f, 0f, 0f, 0f, 1f, 1f))
   }
 }
