@@ -51,26 +51,34 @@ object Bench {
 
     // extraction throughput: median of 5 (this host shows bursty CPU
     // steal — round-1 driver capture hit a steal window and read 27×
-    // low; the min is reported alongside so a stolen median is visible)
-    val reps = (1 to 5).map(_ => timed(extractRun(spark.read.parquet(stage))))
+    // low; the min is reported alongside so a stolen median is
+    // visible), with the phase's /proc/stat steal delta emitted so a
+    // poisoned capture is machine-detectable (VERDICT r2 #2/#4)
+    val (reps, stealExtract) = ScalePair.withSteal {
+      (1 to 5).map(_ => timed(extractRun(spark.read.parquet(stage))))
+    }
     val tExtract = reps.sorted.apply(reps.length / 2)
     val tExtractMin = reps.min
 
     // full pipeline: extract + bucket/salt + IceTable commit w/ lineage
     val benchRoot = java.nio.file.Files.createTempDirectory("graft-bench-table").toString
-    val tCommit = timed {
-      ExtractJob.run(spark, benchRoot, nDocs, buckets = 32,
-        groups = 4, commitId = s"bench-$cpus")
+    val (tCommit, stealCommit) = ScalePair.withSteal {
+      timed {
+        ExtractJob.run(spark, benchRoot, nDocs, buckets = 32,
+          groups = 4, commitId = s"bench-$cpus")
+      }
     }
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double](
       "x_extract" -> tExtract,
       "x_commit" -> tCommit)
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      results(name) = timed {
-        try fn(spark, sfDir).count()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L
+    val (_, stealQueries) = ScalePair.withSteal {
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        results(name) = timed {
+          try fn(spark, sfDir).count()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L
+          }
         }
       }
     }
@@ -78,22 +86,51 @@ object Bench {
     // N-vs-4N scaling pair (BASELINE.json target): 1 vs 4 pinned
     // executor-JVMs (own heap+GC each) over the same staged input —
     // the honest sandbox stand-in for 1 vs 4 cluster executors
-    // (ScalePair scaladoc). Run TWICE and report both + the best: this
-    // host shows multi-minute CPU-steal bursts that can blanket one
-    // pair's entire 4N window (observed: leg reps degrading 2.6→13.7 s
-    // mid-burst while the alone leg, minutes earlier, ran clean), and
-    // a burst must cover both attempts to poison the round. The
-    // checksum gate is unaffected either way. SPARK_GRAFT_SCALE=0 skips.
+    // (ScalePair scaladoc). Run THREE times (SPARK_GRAFT_SCALE_PAIRS):
+    // the HEADLINE is the median of VALID runs (efficiency in
+    // (0, 1.05] — >1 means the alone leg was steal-hit, i.e. the
+    // measurement is invalid, never "superlinear scaling"; VERDICT r2
+    // "What's wrong" #1), and the median-of-3 survives one
+    // steal-poisoned pair in either direction (observed: a burst
+    // hitting only one run's 4N window drags that pair to 0.48 while
+    // its neighbors read 0.86-0.97). Every raw value plus per-phase
+    // steal windows is reported AND appended to scaling_history.jsonl,
+    // so the ≥0.8 claim rests on a cumulative machine-readable record.
+    // The checksum gate is unaffected either way. SPARK_GRAFT_SCALE=0
+    // skips.
+    //
+    // The in-process Spark session must be STOPPED first: its 32
+    // executor threads + GC otherwise compete with the pinned leg JVMs
+    // (measured: t_full 11.5 s with the session alive vs 5.5 s
+    // standalone — enough to push weak pairs from ~0.86 to ~0.72).
+    // Everything below here only reads local vars.
+    spark.stop()
+    val nPairs = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAIRS", "3").toInt
     val scaleRuns =
       if (sys.env.getOrElse("SPARK_GRAFT_SCALE", "1") == "1")
-        (1 to 2).flatMap { i =>
+        (1 to nPairs).flatMap { i =>
           try Some(ScalePair.run(stage, cores = 8, reps = 3))
           catch { case e: Throwable =>
             System.err.println(s"[bench] scale pair $i failed: ${e.getMessage}"); None
           }
         }
       else Seq.empty
-    val scale = scaleRuns.sortBy(-_.efficiency).headOption
+    val validRuns = scaleRuns.filter(_.valid)
+    // lower-middle median: conservative for even counts
+    val headline = validRuns.sortBy(_.efficiency)
+      .lift((validRuns.size - 1) / 2).filter(_ => validRuns.nonEmpty)
+
+    // cumulative scaling record (VERDICT r2 #7): one JSONL line per
+    // pair run, valid or not, with its steal window
+    val historyPath = sys.env.getOrElse("SPARK_GRAFT_HISTORY", "scaling_history.jsonl")
+    try {
+      val w = new java.io.FileWriter(historyPath, true)
+      try scaleRuns.foreach { r =>
+        w.write(f"""{"ts_ms":${System.currentTimeMillis()},"cores_per_executor":8,"bench_docs":$nDocs,"efficiency":${r.efficiency}%.4f,"strong_efficiency":${r.strongEfficiency}%.4f,"t_alone":${r.tAlone}%.3f,"t_4n":${r.t4N}%.3f,"t_full":${r.tFull}%.3f,"checksum_match":${r.checksumMatch},"steal_pct":${r.stealPct}%.3f,"steal_alone_pct":${r.stealAlonePct}%.3f,"steal_4n_pct":${r.steal4nPct}%.3f,"steal_full_pct":${r.stealFullPct}%.3f,"valid":${r.valid}}%n""")
+      } finally w.close()
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] history append failed: ${e.getMessage}")
+    }
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
@@ -101,12 +138,20 @@ object Bench {
     val docsPerSec = nDocs / tExtract
     val docsPerSecBest = nDocs / tExtractMin
     val commitDocsPerSec = nDocs / tCommit
-    val scaleJson = scale.map { r =>
+    val scaleJson = headline.map { r =>
       val all = scaleRuns.map(x => f"${x.efficiency}%.3f").mkString("[", ",", "]")
-      f""","scale_n_docs_per_sec":${r.nDocsPerSec}%.1f,"scale_4n_docs_per_sec":${r.n4DocsPerSec}%.1f,"scaling_efficiency":${r.efficiency}%.3f,"scaling_efficiency_strong":${r.strongEfficiency}%.3f,"scaling_efficiency_runs":$all,"scale_checksum_match":${scaleRuns.forall(_.checksumMatch)}"""
-    }.getOrElse("")
+      val steals = scaleRuns.map(x => f"${x.stealPct}%.3f").mkString("[", ",", "]")
+      val strongHeadline = validRuns.map(_.strongEfficiency).sorted
+        .apply((validRuns.size - 1) / 2)
+      f""","scale_n_docs_per_sec":${r.nDocsPerSec}%.1f,"scale_4n_docs_per_sec":${r.n4DocsPerSec}%.1f,"scaling_efficiency":${r.efficiency}%.3f,"scaling_efficiency_strong":$strongHeadline%.3f,"scaling_efficiency_runs":$all,"scale_steal_pcts":$steals,"scaling_valid_runs":${validRuns.size},"scale_checksum_match":${scaleRuns.forall(_.checksumMatch)}"""
+    }.getOrElse(
+      if (scaleRuns.isEmpty) ""
+      else {
+        val all = scaleRuns.map(x => f"${x.efficiency}%.3f").mkString("[", ",", "]")
+        val steals = scaleRuns.map(x => f"${x.stealPct}%.3f").mkString("[", ",", "]")
+        s""","scaling_efficiency":null,"scaling_efficiency_runs":$all,"scale_steal_pcts":$steals,"scaling_valid_runs":0,"scale_checksum_match":${scaleRuns.forall(_.checksumMatch)}"""
+      })
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"bench_docs":$nDocs,"extract_docs_per_sec":$docsPerSec%.1f,"extract_docs_per_sec_best":$docsPerSecBest%.1f,"commit_docs_per_sec":$commitDocsPerSec%.1f$scaleJson}""")
-    spark.stop()
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"bench_docs":$nDocs,"extract_docs_per_sec":$docsPerSec%.1f,"extract_docs_per_sec_best":$docsPerSecBest%.1f,"commit_docs_per_sec":$commitDocsPerSec%.1f,"steal_pct_extract":$stealExtract%.3f,"steal_pct_commit":$stealCommit%.3f,"steal_pct_queries":$stealQueries%.3f$scaleJson}""")
   }
 }

@@ -27,60 +27,54 @@ object GraftSession {
     v
   }
 
-  def register(spark: SparkSession): SparkSession = {
-    val reg = spark.sessionState.functionRegistry
+  /** Name → expression builder for every graft function — the single
+    * source of truth shared by `register` (temp functions) and
+    * `GraftExtensions` (spark.sql.extensions), so the two registration
+    * paths can never drift apart. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     // optional 3rd arg: engine name as a foldable string literal
     // ("default" | "alt" | "both") — engine choice folds at plan time,
     // mirroring the reference's construction-time engine selection
     // (main_window.py:450 engine combo → OCRWorker ctor)
-    reg.createOrReplaceTempFunction(
-      "graft_extract",
-      exprs => {
-        val engine =
-          if (exprs.length >= 3)
-            graft.extract.Engine.parse(
-              foldableArg("graft_extract", 2, exprs(2)).toString)
-          else graft.extract.Engine.Default
-        ExtractMainText(exprs.head, exprs(1), engine)
-      },
-      "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "graft_simhash", exprs => SimHash64(exprs.head), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "graft_minhash", exprs => MinHashSig(exprs.head, 64), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "graft_fingerprint", exprs => Winnow(exprs.head, 16), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "graft_langid", exprs => LangId(exprs.head), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "graft_lsh_bucket", exprs => LshBucket(exprs.head, exprs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "graft_explode_blocks", exprs => graft.expr.ExplodeBlocks(exprs.head), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "graft_shingles", exprs => graft.expr.Shingles(exprs.head), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "graft_make_pdf",
-      exprs => graft.expr.MakePdf(exprs.head, exprs(1), exprs(2)), "scala_udf")
+    "graft_extract" -> { exprs =>
+      val engine =
+        if (exprs.length >= 3)
+          graft.extract.Engine.parse(
+            foldableArg("graft_extract", 2, exprs(2)).toString)
+        else graft.extract.Engine.Default
+      ExtractMainText(exprs.head, exprs(1), engine)
+    },
+    "graft_simhash" -> (exprs => SimHash64(exprs.head)),
+    "graft_minhash" -> (exprs => MinHashSig(exprs.head, 64)),
+    "graft_fingerprint" -> (exprs => Winnow(exprs.head, 16)),
+    "graft_langid" -> (exprs => LangId(exprs.head)),
+    "graft_lsh_bucket" -> (exprs => LshBucket(exprs.head, exprs(1))),
+    "graft_explode_blocks" -> (exprs => graft.expr.ExplodeBlocks(exprs.head)),
+    "graft_shingles" -> (exprs => graft.expr.Shingles(exprs.head)),
+    "graft_make_pdf" -> (exprs => graft.expr.MakePdf(exprs.head, exprs(1), exprs(2))),
     // bounded top-k aggregate (scale-safe ANN ranking): 3rd arg is the
     // plan-time literal k; the analyzer wraps the returned
     // AggregateFunction like any built-in aggregate
-    reg.createOrReplaceTempFunction(
-      "graft_topk",
-      exprs => {
-        val k = foldableArg("graft_topk", 2, exprs(2)) match {
-          case n: java.lang.Number => n.intValue()
-          case other => throw new IllegalArgumentException(
-            s"graft_topk: k must be an integer literal, got $other")
-        }
-        if (k < 0)
-          throw new IllegalArgumentException(s"graft_topk: k must be >= 0, got $k")
-        // analysis-time coercion: a float score / int id column casts
-        // cleanly; an uncastable type fails analysis, never a task
-        graft.expr.TopKAgg(
-          Cast(exprs.head, org.apache.spark.sql.types.DoubleType),
-          Cast(exprs(1), org.apache.spark.sql.types.LongType), k)
-      },
-      "scala_udf")
+    "graft_topk" -> { exprs =>
+      val k = foldableArg("graft_topk", 2, exprs(2)) match {
+        case n: java.lang.Number => n.intValue()
+        case other => throw new IllegalArgumentException(
+          s"graft_topk: k must be an integer literal, got $other")
+      }
+      if (k < 0)
+        throw new IllegalArgumentException(s"graft_topk: k must be >= 0, got $k")
+      // analysis-time coercion: a float score / int id column casts
+      // cleanly; an uncastable type fails analysis, never a task
+      graft.expr.TopKAgg(
+        Cast(exprs.head, org.apache.spark.sql.types.DoubleType),
+        Cast(exprs(1), org.apache.spark.sql.types.LongType), k)
+    })
+
+  def register(spark: SparkSession): SparkSession = {
+    val reg = spark.sessionState.functionRegistry
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "scala_udf")
+    }
     spark
   }
 

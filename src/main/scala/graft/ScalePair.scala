@@ -24,6 +24,37 @@ package graft
   */
 object ScalePair {
 
+  /** Host steal telemetry from /proc/stat's aggregate cpu line:
+    * (stealTicks, totalTicks). This host shows multi-minute steal
+    * bursts that poisoned the round-2 driver bench capture ~40× low
+    * (VERDICT r2 "What's wrong" #2); recording the steal delta around
+    * every measured phase makes a poisoned capture machine-detectable
+    * in the BENCH json itself. Returns (-1,-1) where /proc/stat is
+    * unavailable. */
+  def stealTicks(): (Long, Long) = {
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat", "UTF-8")
+      try {
+        val line = src.getLines().find(_.startsWith("cpu ")).get
+        val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+        val steal = if (f.length > 7) f(7) else 0L
+        (steal, f.sum)
+      } finally src.close()
+    } catch { case _: Exception => (-1L, -1L) }
+  }
+
+  /** Steal percentage over a window: run `f`, return (result, steal%
+    * of total cpu ticks in the window; -1 if unreadable). */
+  def withSteal[A](f: => A): (A, Double) = {
+    val (s0, t0) = stealTicks()
+    val r = f
+    val (s1, t1) = stealTicks()
+    val pct =
+      if (s0 < 0 || s1 < 0 || t1 <= t0) -1.0
+      else 100.0 * (s1 - s0).toDouble / (t1 - t0).toDouble
+    (r, pct)
+  }
+
   final case class Leg(docs: Long, seconds: Double, checksum: java.math.BigDecimal)
 
   /** @param efficiency   weak-scaling: one executor's time on its slice
@@ -40,10 +71,20 @@ object ScalePair {
     * @param checksumMatch the 4 legs' xxhash64 partial sums add up to
     *   the full-input leg's sum exactly (byte-identity across
     *   parallelism levels). */
+  /** @param stealPct host steal (% of cpu ticks) over the whole pair
+    *   window — a high value marks the RUN as untrustworthy, not the
+    *   engine (see stealTicks). */
   final case class Result(
       nDocsPerSec: Double, n4DocsPerSec: Double, efficiency: Double,
       strongEfficiency: Double, checksumMatch: Boolean,
-      tAlone: Double, t4N: Double, tFull: Double)
+      tAlone: Double, t4N: Double, tFull: Double, stealPct: Double = -1.0,
+      stealAlonePct: Double = -1.0, steal4nPct: Double = -1.0,
+      stealFullPct: Double = -1.0) {
+    /** A physically meaningful weak-scaling measurement: >1.05 means
+      * the alone leg was steal-hit (the measurement is invalid, not
+      * that scaling is superlinear); ≤0 is a degenerate capture. */
+    def valid: Boolean = efficiency > 0.0 && efficiency <= 1.05
+  }
 
   private val addOpens = Seq(
     "java.base/java.lang", "java.base/java.lang.invoke",
@@ -108,6 +149,12 @@ object ScalePair {
   /** Run the pair over an already-staged parquet directory. */
   def run(stageDir: String, cores: Int = 8, legs: Int = 4,
           reps: Int = 3, heap: String = "6g"): Result = {
+    val (r, steal) = withSteal(runInner(stageDir, cores, legs, reps, heap))
+    r.copy(stealPct = steal)
+  }
+
+  private def runInner(stageDir: String, cores: Int, legs: Int,
+                       reps: Int, heap: String): Result = {
     val files = new java.io.File(stageDir).listFiles()
       .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted.toSeq
     require(files.size >= legs, s"need ≥$legs staged files, found ${files.size}")
@@ -117,30 +164,39 @@ object ScalePair {
       .map(_._2.map(_._1))
 
     // ---- N side (weak scaling): ONE executor-JVM over slice 0, alone ----
-    val (pa, readyA, startA) =
-      fork(slices.head, cores, "alone", work, reps, heap, Some(s"0-${cores - 1}"))
-    while (!readyA.exists()) Thread.sleep(20)
-    startA.createNewFile()
-    val alone = awaitLeg(pa, new java.io.File(work, "alone.result"), 1800)
+    // per-phase steal windows: a burst that hits only the 4N window
+    // (observed: efficiency 0.48 with the pair-average steal at 0.4%)
+    // is identifiable from the record without replaying the run
+    val (alone, stealAlone) = withSteal {
+      val (pa, readyA, startA) =
+        fork(slices.head, cores, "alone", work, reps, heap, Some(s"0-${cores - 1}"))
+      while (!readyA.exists()) Thread.sleep(20)
+      startA.createNewFile()
+      awaitLeg(pa, new java.io.File(work, "alone.result"), 1800)
+    }
 
     // ---- 4N side: `legs` executor-JVMs over the disjoint slices,
     // each pinned to its own core range (= one executor per "node slot") ----
-    val procs = slices.zipWithIndex.map { case (slice, i) =>
-      fork(slice, cores, s"m$i", work, reps, heap,
-        Some(s"${i * cores}-${(i + 1) * cores - 1}"))
-    }
-    procs.foreach { case (_, ready, _) => while (!ready.exists()) Thread.sleep(20) }
-    procs.foreach { case (_, _, start) => start.createNewFile() } // barrier release
-    val legsR = procs.zipWithIndex.map { case ((p, _, _), i) =>
-      awaitLeg(p, new java.io.File(work, s"m$i.result"), 1800)
+    val (legsR, steal4n) = withSteal {
+      val procs = slices.zipWithIndex.map { case (slice, i) =>
+        fork(slice, cores, s"m$i", work, reps, heap,
+          Some(s"${i * cores}-${(i + 1) * cores - 1}"))
+      }
+      procs.foreach { case (_, ready, _) => while (!ready.exists()) Thread.sleep(20) }
+      procs.foreach { case (_, _, start) => start.createNewFile() } // barrier release
+      procs.zipWithIndex.map { case ((p, _, _), i) =>
+        awaitLeg(p, new java.io.File(work, s"m$i.result"), 1800)
+      }
     }
 
     // ---- full-input leg: strong-shape baseline + global checksum ----
-    val (pf, readyF, startF) =
-      fork(files, cores, "full", work, reps, heap, Some(s"0-${cores - 1}"))
-    while (!readyF.exists()) Thread.sleep(20)
-    startF.createNewFile()
-    val full = awaitLeg(pf, new java.io.File(work, "full.result"), 1800)
+    val (full, stealFull) = withSteal {
+      val (pf, readyF, startF) =
+        fork(files, cores, "full", work, reps, heap, Some(s"0-${cores - 1}"))
+      while (!readyF.exists()) Thread.sleep(20)
+      startF.createNewFile()
+      awaitLeg(pf, new java.io.File(work, "full.result"), 1800)
+    }
 
     val t4 = legsR.map(_.seconds).max // wall = slowest executor
     val docs = full.docs
@@ -152,7 +208,8 @@ object ScalePair {
       strongEfficiency = (docs / t4) / (legs * (docs / full.seconds)),
       checksumMatch = sum4.compareTo(full.checksum) == 0 &&
         legsR.map(_.docs).sum == docs,
-      tAlone = alone.seconds, t4N = t4, tFull = full.seconds)
+      tAlone = alone.seconds, t4N = t4, tFull = full.seconds,
+      stealAlonePct = stealAlone, steal4nPct = steal4n, stealFullPct = stealFull)
   }
 
   def main(args: Array[String]): Unit = {
@@ -160,6 +217,6 @@ object ScalePair {
     val cores = args.lift(1).map(_.toInt).getOrElse(8)
     val reps = args.lift(2).map(_.toInt).getOrElse(3)
     val r = run(stage, cores = cores, reps = reps)
-    println(f"""{"metric":"scaling","cores_per_executor":$cores,"n_docs_per_sec":${r.nDocsPerSec}%.1f,"n4_docs_per_sec":${r.n4DocsPerSec}%.1f,"efficiency":${r.efficiency}%.3f,"strong_efficiency":${r.strongEfficiency}%.3f,"checksum_match":${r.checksumMatch},"t_alone":${r.tAlone}%.2f,"t_4n":${r.t4N}%.2f,"t_full":${r.tFull}%.2f}""")
+    println(f"""{"metric":"scaling","cores_per_executor":$cores,"n_docs_per_sec":${r.nDocsPerSec}%.1f,"n4_docs_per_sec":${r.n4DocsPerSec}%.1f,"efficiency":${r.efficiency}%.3f,"strong_efficiency":${r.strongEfficiency}%.3f,"checksum_match":${r.checksumMatch},"t_alone":${r.tAlone}%.2f,"t_4n":${r.t4N}%.2f,"t_full":${r.tFull}%.2f,"steal_pct":${r.stealPct}%.3f,"steal_alone_pct":${r.stealAlonePct}%.3f,"steal_4n_pct":${r.steal4nPct}%.3f,"steal_full_pct":${r.stealFullPct}%.3f,"valid":${r.valid}}""")
   }
 }

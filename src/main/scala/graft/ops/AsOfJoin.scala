@@ -64,4 +64,95 @@ object AsOfJoin {
         dimPay.map { case (c, a) => col(a).as(s"dim_$c") }
     filled.filter(col("__tag") === 1).select(renames: _*)
   }
+
+  /** Skew-resistant variant of [[latestBefore]]: identical semantics,
+    * but no task ever holds a whole key. The timeline of each key is
+    * split into `bucketWidth`-sized ranges and the running fill window
+    * partitions by (key, bucket) — a key holding 50% of all rows
+    * spreads over (its time span / bucketWidth) tasks.
+    *
+    * Mechanics (all frames bounded by BUCKET counts, not row counts):
+    *   1. per (key, bucket): the latest dim row, as an aggregate —
+    *      one row per key×bucket that has dims;
+    *   2. a cumulative carry across buckets (window over the
+    *      aggregated frame, ≤ #buckets rows per key) densified to
+    *      every bucket in the key's observed range, giving each
+    *      bucket its "state at bucket start" seed;
+    *   3. facts ∪ dims ∪ seeds, filled by a window over
+    *      (key, bucket).
+    *
+    * Contracts: `tsToLong(ts)` must be a monotone integer image of the
+    * event time (default: cast to long — epoch seconds for timestamps);
+    * same-instant dims must be pre-deduped (as in latestBefore);
+    * pick `bucketWidth` so a key's span is thousands of buckets, not
+    * millions (the dense carry materializes one row per key×bucket).
+    */
+  /** tsToLong for timestamp columns: epoch seconds (pair with a
+    * bucketWidth in seconds). The default `cast("long")` covers
+    * numeric event times; Spark won't cast timestamps to long. */
+  val tsSeconds: Column => Column =
+    c => (unix_micros(c.cast("timestamp")) / lit(1000000L)).cast("long")
+
+  def latestBeforeBucketed(fact: DataFrame, dim: DataFrame, key: String,
+                           factTs: String, dimTs: String, dimCols: Seq[String],
+                           bucketWidth: Long,
+                           tsToLong: Column => Column = _.cast("long")): DataFrame = {
+    require(bucketWidth > 0)
+    val payStruct = struct(col(dimTs).as("__dts") +: dimCols.map(col): _*)
+    val dimB = dim
+      .withColumn("__b", floor(tsToLong(col(dimTs)) / bucketWidth).cast("long"))
+    val factB = fact
+      .withColumn("__b", floor(tsToLong(col(factTs)) / bucketWidth).cast("long"))
+
+    // 1. latest dim per (key, bucket): ts ranges are disjoint across
+    // buckets, so a lexicographic struct max IS the latest-by-ts row
+    val perBucket = dimB.groupBy(col(key), col("__b"))
+      .agg(max(payStruct).as("__last"))
+
+    // 2. cumulative carry over the AGGREGATED frame (≤ #buckets rows
+    // per key), densified to every bucket a fact or dim touches, then
+    // shifted: bucket b's seed is the carry through bucket b-1
+    val bounds = perBucket.select(col(key), col("__b"))
+      .unionByName(factB.select(col(key), col("__b")))
+      .groupBy(col(key)).agg(min(col("__b")).as("__b0"), max(col("__b")).as("__b1"))
+    val dense = bounds.select(col(key),
+      explode(sequence(col("__b0"), col("__b1"))).as("__b"))
+    val carryW = Window.partitionBy(col(key)).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = dense.join(perBucket, Seq(key, "__b"), "left_outer")
+      .withColumn("__carry", last(col("__last"), ignoreNulls = true).over(carryW))
+    val seeds = carried
+      .withColumn("__seed", lag(col("__carry"), 1).over(
+        Window.partitionBy(col(key)).orderBy(col("__b"))))
+      .filter(col("__seed").isNotNull)
+      .select(col(key), col("__b"), col("__seed"))
+
+    // 3. one fill window per (key, bucket): seeds sort first (tag -1),
+    // then dims (0) before same-instant facts (1) — latestBefore's order
+    val factCols = factB.columns.filterNot(c => c == "__b" || c == key)
+    val dimPay = dimCols.map(c => c -> s"__dim_$c")
+    def nulls(names: Seq[(String, String)]) = names.map { case (_, a) => lit(null).as(a) }
+    val factSide = factB.select(
+      Seq(col(key), col("__b"), col(factTs).as("__t"), lit(1).as("__tag")) ++
+        factCols.map(col) ++ nulls(dimPay): _*)
+    val dimSide = dimB.select(
+      Seq(col(key), col("__b"), col(dimTs).as("__t"), lit(0).as("__tag")) ++
+        factCols.map(c => lit(null).cast(factB.schema(c).dataType).as(c)) ++
+        dimPay.map { case (c, a) => col(c).as(a) }: _*)
+    val seedSide = seeds.select(
+      Seq(col(key), col("__b"), col("__seed.__dts").as("__t"), lit(-1).as("__tag")) ++
+        factCols.map(c => lit(null).cast(factB.schema(c).dataType).as(c)) ++
+        dimPay.map { case (c, a) => col(s"__seed.$c").as(a) }: _*)
+    val unioned = factSide.unionByName(dimSide).unionByName(seedSide)
+    val fillW = Window.partitionBy(col(key), col("__b"))
+      .orderBy(col("__t"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = dimPay.foldLeft(unioned) { case (df, (_, a)) =>
+      df.withColumn(a, last(col(a), ignoreNulls = true).over(fillW))
+    }
+    val renames: Seq[Column] =
+      Seq(col(key)) ++ factCols.map(col) ++
+        dimPay.map { case (c, a) => col(a).as(s"dim_$c") }
+    filled.filter(col("__tag") === 1).select(renames: _*)
+  }
 }

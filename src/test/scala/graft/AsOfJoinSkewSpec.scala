@@ -43,5 +43,40 @@ class AsOfJoinSkewSpec extends AnyFunSuite {
       assert(got(eid) == expected, s"event $eid user $u ts $ts")
     }
     assert(got.size == factRows.length)
+
+    // the skew-resistant bucketed variant is semantically IDENTICAL at
+    // any bucket width (one wider than the whole span, one splitting
+    // the hot key over ~100 tasks, one degenerate tiny width)
+    Seq(1000000L, 1000L, 7L).foreach { width =>
+      val bucketed = graft.ops.AsOfJoin.latestBeforeBucketed(
+          facts, dims, "user_id", "ts", "dim_ts", Seq("value"), width)
+        .select("event_id", "dim_value").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      assert(bucketed == got, s"width=$width diverged from latestBefore")
+    }
+  }
+
+  test("bucketed variant == latestBefore on the events table (q20 shape)") {
+    import org.apache.spark.sql.functions._
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val fact = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val dim = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"), col("ts").as("dim_ts"))
+      .agg(max(col("value")).as("value"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "dim_value").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val base = run(graft.ops.AsOfJoin.latestBefore(
+      fact, dim, "user_id", "ts", "dim_ts", Seq("value")))
+    // timestamp event time → epoch seconds; buckets of one day / one hour
+    Seq(86400L, 3600L).foreach { width =>
+      val b = run(graft.ops.AsOfJoin.latestBeforeBucketed(
+        fact, dim, "user_id", "ts", "dim_ts", Seq("value"), width,
+        graft.ops.AsOfJoin.tsSeconds))
+      assert(b == base, s"width=$width diverged on events")
+    }
+    assert(base.nonEmpty)
   }
 }

@@ -102,6 +102,40 @@ class StreamingSpec extends AnyFunSuite {
     got.foreach { case (k, v) => assert(v <= batchAll(k)) }
   }
 
+  test("windowedEventCounts streaming == independent batch agg, row for row") {
+    val src = tmp("weq")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .write.mode("append").parquet(src)
+    val events = spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .parquet(src)
+    // complete mode emits EVERY window (watermark moot), so the whole
+    // streaming aggregation is comparable; the DECIMAL(18,4) sum inside
+    // windowedEventCounts is exact, so equality is bit-for-bit — no
+    // float-summation-order tolerance needed
+    val q = StreamingExtract.windowedEventCounts(events)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("winfull")
+      .start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql(
+        "SELECT CAST(window.start AS STRING) AS ws, event_type, n, sum_value FROM winfull")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    // the batch twin, built independently (q10 shape at 5-min grain)
+    val batch = spark.read.parquet(src)
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(col("window.start").cast("string").as("ws"),
+        col("event_type"), col("n"), col("sum_value"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+  }
+
   test("stateful sessionization via flatMapGroupsWithState") {
     import spark.implicits._
     val src = tmp("sess")
