@@ -163,6 +163,27 @@ object Queries {
           size(col("r.spans")).as("n_spans"), col("r.error").as("error"))
         .orderBy("doc_id")
     }),
+    // DRIVER-ATTESTED block-level view: the ExplodeBlocks generator
+    // (UDTF analogue) over the x6 template — every block's part/index/
+    // kind/text/feature-counts/keep-decision is predicted in SQL, so
+    // the region-extract stage's INTERNALS (not just the assembled
+    // output) are hash-compared: nav and footer carry their link-word
+    // counts and kept=false, the heading survives iff the body block
+    // reaches the 15-word content floor
+    "x11_blocks_roundtrip" -> ((s, dir) => {
+      GraftSession.register(s)
+      val html = concat(
+        lit("<html><head><title>t</title></head><body>" +
+          "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a></nav><h1>Title "),
+        col("doc_id"),
+        lit("</h1><p>"), col("text"),
+        lit("</p><footer>Copyright <a href=\"#\">here</a> <a href=\"#\">there</a></footer>" +
+          "</body></html>"))
+      t(s, dir, "documents")
+        .withColumn("payload", encode(html, "UTF-8"))
+        .select(col("doc_id"), expr("graft_explode_blocks(payload)"))
+        .orderBy("doc_id", "block_idx")
+    }),
     // DRIVER-ATTESTED PDF path (VERDICT r2 #1 — the last self-attested
     // pipeline branch): build a deterministic two-page PDF from each
     // documents-table row (page 1 raw /Length stream with escape-worthy
@@ -396,6 +417,22 @@ object Queries {
           col("dim_value"), col("dim_n_at_ts"))
         .orderBy("event_id")
     }),
+    // as-of join, skew-resistant shape: latestBeforeBucketed splits the
+    // fill window by (key, day-bucket) with carry seeds — semantically
+    // identical to latestBefore, so it shares q20's ASOF oracle; a
+    // driver hash-match here attests the whole seed/carry machinery
+    "q20c_asof_bucketed" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val fact = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val dim = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("ts").as("dim_ts"))
+        .agg(max(col("value")).as("value"))
+      graft.ops.AsOfJoin.latestBeforeBucketed(fact, dim, "user_id", "ts", "dim_ts",
+          Seq("value"), bucketWidth = 86400L, tsToLong = graft.ops.AsOfJoin.tsSeconds)
+        .select(col("event_id"), col("user_id"), col("dim_value"))
+        .orderBy("event_id")
+    }),
     // batch sessionization: gap>30min starts a new session (window
     // running-sum of boundary flags — the streaming sessionize's
     // batch twin, fully SQL-expressible for the oracle)
@@ -547,6 +584,16 @@ object Queries {
         |FROM fact f ASOF LEFT JOIN dim d
         |  ON f.user_id = d.user_id AND f.ts >= d.dim_ts
         |ORDER BY f.event_id""".stripMargin,
+    "q20c_asof_bucketed" ->
+      """WITH fact AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |dim AS (
+        |  SELECT user_id, ts AS dim_ts, MAX(value) AS value
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+        |SELECT f.event_id, f.user_id, d.value AS dim_value
+        |FROM fact f ASOF LEFT JOIN dim d
+        |  ON f.user_id = d.user_id AND f.ts >= d.dim_ts
+        |ORDER BY f.event_id""".stripMargin,
     "q21_sessionize" ->
       """WITH ev AS (
         |  SELECT user_id, ts, event_id,
@@ -624,6 +671,23 @@ object Queries {
         | CASE WHEN d.doc_id % 10 = 0 THEN 'حدث خطأ: pdf: no content streams'
         |      ELSE NULL END AS error
         |FROM documents d ORDER BY d.doc_id""".stripMargin,
+    // block view: 4 blocks per doc in segmentation order — nav (2 link
+    // words, boiler→dropped), heading (kept iff body kept), body
+    // (kept iff ≥15 words), footer (2 of 3 words in links, dropped)
+    "x11_blocks_roundtrip" ->
+      """WITH d AS (
+        | SELECT doc_id, text, len(string_split(trim(text), ' ')) AS nw FROM documents)
+        |SELECT doc_id, part, block_idx, kind, btext AS text, words, link_words, kept
+        |FROM (
+        | SELECT doc_id, 1 AS part, 0 AS block_idx, 'content' AS kind,
+        |        'Home About' AS btext, 2 AS words, 2 AS link_words, FALSE AS kept FROM d
+        | UNION ALL
+        | SELECT doc_id, 1, 1, 'heading', 'Title ' || doc_id, 2, 0, nw >= 15 FROM d
+        | UNION ALL
+        | SELECT doc_id, 1, 2, 'content', text, nw, 0, nw >= 15 FROM d
+        | UNION ALL
+        | SELECT doc_id, 1, 3, 'content', 'Copyright here there', 3, 2, FALSE FROM d)
+        |ORDER BY doc_id, block_idx""".stripMargin,
     // dual-engine: ≥15 words → both engines keep (heading+body twice,
     // engine outputs concatenated with NO separator); 8-14 words →
     // alt engine only; <8 → empty
