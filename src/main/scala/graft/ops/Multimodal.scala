@@ -7,10 +7,10 @@ import org.apache.spark.sql.functions._
   * payloads with typed metadata, plus decode/feature-extract/
   * frame-sample stages.
   *
-  * The IMAGE branch is a REAL decoder: payloads are real PNG bytes and
-  * decode goes through `javax.imageio` (JDK-bundled — no external
-  * library needed), with width/height/features computed from actual
-  * decoded pixels. Audio/video decode kernels remain STUBS (no
+  * The IMAGE branch is a REAL decoder: payloads are real PNG/JPEG
+  * bytes (both JDK-bundled codecs, alternating per row) and decode
+  * goes through `javax.imageio` — no external library needed — with
+  * width/height/features computed from actual decoded pixels. Audio/video decode kernels remain STUBS (no
   * audio/video codecs ship with the JDK or this container): header
   * parse is real, the "sample decode" is a deterministic byte
   * histogram standing in for a codec, behind the clearly-marked seam
@@ -56,9 +56,12 @@ object Multimodal {
       val planted = id % 50 == 7
       val payload =
         if (kind == "image") {
-          val png = makePng(w, h, id)
-          if (planted) java.util.Arrays.copyOfRange(png, 0, 20) // truncated PNG
-          else png
+          // alternate the two JDK-bundled codecs so BOTH real decode
+          // paths (PNG and JPEG) run on every table
+          val fmt = if ((id / 3) % 2 == 0) "png" else "jpg"
+          val img = makeImage(w, h, id, fmt)
+          if (planted) java.util.Arrays.copyOfRange(img, 0, 20) // truncated
+          else img
         } else {
           val bodyLen = (64 + (id * 29) % 192).toInt
           val body = Array.tabulate[Byte](bodyLen)(i => ((id * 131 + i * 7) % 256).toByte)
@@ -72,8 +75,11 @@ object Multimodal {
     }
   }
 
-  /** Deterministic w×h RGB PNG: pixel (x,y) = gray((x*31+y*17+id)%256). */
-  def makePng(w: Int, h: Int, id: Long): Array[Byte] = {
+  /** Deterministic w×h RGB image (PNG or JPEG): pixel (x,y) =
+    * gray((x*31+y*17+id)%256). JPEG is lossy but decode is
+    * deterministic for a fixed JDK, and the oracle only predicts
+    * dimensions/feat_dim — pixel values feed the histogram feature. */
+  def makeImage(w: Int, h: Int, id: Long, fmt: String): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
@@ -87,12 +93,17 @@ object Multimodal {
       y += 1
     }
     val out = new java.io.ByteArrayOutputStream(w * h / 4 + 64)
-    javax.imageio.ImageIO.write(img, "png", out)
+    javax.imageio.ImageIO.write(img, fmt, out)
     out.toByteArray
   }
 
+  def makePng(w: Int, h: Int, id: Long): Array[Byte] = makeImage(w, h, id, "png")
+
   @inline private def isPng(b: Array[Byte]): Boolean =
     b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+
+  @inline private def isJpeg(b: Array[Byte]): Boolean =
+    b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff
 
   /** Decode one payload. Images: REAL imageio decode — metadata and the
     * 8-bin red-channel histogram come from decoded pixels; a payload
@@ -100,7 +111,7 @@ object Multimodal {
     * parse, stubbed sample decode (seam below). */
   private def decode(payload: Array[Byte]): Either[String, (Int, Int, Int, Array[Float])] = {
     if (payload == null || payload.length < 8) return Left("bad magic")
-    if (isPng(payload)) {
+    if (isPng(payload) || isJpeg(payload)) {
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
         catch { case _: Exception => null }

@@ -231,6 +231,9 @@ class OpsSpec extends AnyFunSuite {
       assert(r.width == (16 + (r.media_id * 37) % 512).toInt, s"id=${r.media_id}")
       assert(r.feature.sum == r.width.toFloat * r.height, s"id=${r.media_id}")
     }
+    // both JDK codecs must actually run (gen alternates PNG and JPEG)
+    assert(images.exists(r => (r.media_id / 3) % 2 == 0), "png rows present")
+    assert(images.exists(r => (r.media_id / 3) % 2 == 1), "jpeg rows present")
     val frames = Multimodal.frameSample(feats.toDF(), 24).collect()
     assert(frames.nonEmpty)
     val videos = good.filter(_.kind == "video")

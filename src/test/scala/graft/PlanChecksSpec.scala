@@ -94,6 +94,42 @@ class PlanChecksSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "assign must not join")
   }
 
+  test("x10/x11 roundtrips are shuffle-free up to the final sort") {
+    // scan → expression (make_pdf/extract or explode_blocks): the only
+    // exchange is the deterministic ORDER BY the driver compare needs
+    Seq("x10_pdf_roundtrip", "x11_blocks_roundtrip").foreach { q =>
+      val p = plan(q)
+      val exchanges = "Exchange".r.findAllIn(p).size
+      assert(exchanges <= 1, s"$q must shuffle at most once (sort):\n${p.take(900)}")
+      assert(!p.contains("Join"), s"$q must not join")
+    }
+    assert(plan("x11_blocks_roundtrip").contains("Generate"),
+      "x11 must run the generator, not a rewrite")
+  }
+
+  test("bucketed as-of join windows partition by (key, bucket), never key alone") {
+    import org.apache.spark.sql.functions._
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val fact = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val dim = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"), col("ts").as("dim_ts")).agg(max("value").as("value"))
+    val p = graft.ops.AsOfJoin.latestBeforeBucketed(
+        fact, dim, "user_id", "ts", "dim_ts", Seq("value"), 86400L,
+        graft.ops.AsOfJoin.tsSeconds)
+      .queryExecution.executedPlan.toString
+    // the row-volume fill window must carry the bucket in its
+    // partition spec; the only key-only windows are the carry/lag over
+    // the aggregated per-bucket frame (bucket-count-bounded)
+    val windowSpecs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowSpecs.nonEmpty, p.take(600))
+    val fillSpecs = windowSpecs.filter(_.contains("__dim_"))
+    assert(fillSpecs.nonEmpty, s"fill window not found:\n${windowSpecs.mkString("\n")}")
+    fillSpecs.foreach { w =>
+      assert(w.contains("__b"), s"fill window must partition by (key, __b): $w")
+    }
+  }
+
   test("whole-stage codegen covers the relational battery") {
     // codegen stages print as "*(n)"; AQE shows them only in the final
     // executed plan, so run the query first

@@ -97,6 +97,29 @@ class RobustnessSpec extends AnyFunSuite {
     assert(bad.error == "حدث خطأ: pdf: no content streams")
   }
 
+  test("property: PdfGen roundtrip holds for arbitrary body strings") {
+    import graft.pdf.PdfGen
+    // printable ASCII (heavy on PDF syntax chars) and mixed unicode
+    val genBody = Gen.oneOf(
+      Gen.listOf(Gen.frequency(
+        6 -> Gen.choose(32.toChar, 126.toChar),
+        2 -> Gen.oneOf('(', ')', '\\', '<', '>', '[', ']', '%'),
+        1 -> Gen.oneOf('\n', '\t', '\r', ' '))).map(_.mkString),
+      Gen.listOf(Gen.oneOf("word", "صفحة", "stream", "Tj", "文", "é", " ", "\n"))
+        .map(_.mkString))
+    (0 until 200).foreach { i =>
+      val body = genBody.pureApply(Gen.Parameters.default, Seed(777L + i))
+      val pdf = PdfGen.makePdf(Seq(
+        PdfGen.Page(Seq(PdfGen.Line("L1"), PdfGen.Line(body)), flate = i % 2 == 1),
+        PdfGen.Page(Seq(PdfGen.Line("P2")), flate = i % 3 == 0)))
+      val r = Extractor.extract(pdf, "en")
+      assert(r.error == null, s"seed=$i body='${body.take(60)}': ${r.error}")
+      val expected = "--- صفحة 1 ---\nL1\n" +
+        graft.html.BlockSegmenter.normalize(body) + "\n\n--- صفحة 2 ---\nP2"
+      assert(r.text == expected, s"seed=$i body='${body.take(60)}'")
+    }
+  }
+
   test("ExplodeBlocks mirrors extractPlain for plain-text payloads") {
     val spark = GraftSession.local(4, "graft-robust")
     GraftSession.register(spark)
