@@ -117,8 +117,7 @@ object Bench {
       else Seq.empty
     val validRuns = scaleRuns.filter(_.valid)
     // lower-middle median: conservative for even counts
-    val headline = validRuns.sortBy(_.efficiency)
-      .lift((validRuns.size - 1) / 2).filter(_ => validRuns.nonEmpty)
+    val headline = validRuns.sortBy(_.efficiency).lift((validRuns.size - 1) / 2)
 
     // cumulative scaling record (VERDICT r2 #7): one JSONL line per
     // pair run, valid or not, with its steal window

@@ -57,7 +57,11 @@ object GraftSession {
     // AggregateFunction like any built-in aggregate
     "graft_topk" -> { exprs =>
       val k = foldableArg("graft_topk", 2, exprs(2)) match {
-        case n: java.lang.Number => n.intValue()
+        case n: java.lang.Byte => n.intValue()
+        case n: java.lang.Short => n.intValue()
+        case n: java.lang.Integer => n.intValue()
+        case n: java.lang.Long => n.intValue()
+        // fractional k (3.7) must error, not silently truncate to 3
         case other => throw new IllegalArgumentException(
           s"graft_topk: k must be an integer literal, got $other")
       }

@@ -36,7 +36,11 @@ object ScalePair {
       val src = scala.io.Source.fromFile("/proc/stat", "UTF-8")
       try {
         val line = src.getLines().find(_.startsWith("cpu ")).get
-        val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+        // fields: user nice system idle iowait irq softirq steal
+        // [guest guest_nice] — guest time is already folded into
+        // user/nice, so summing beyond the first 8 double-counts it
+        // and deflates the steal percentage
+        val f = line.trim.split("\\s+").drop(1).map(_.toLong).take(8)
         val steal = if (f.length > 7) f(7) else 0L
         (steal, f.sum)
       } finally src.close()
@@ -70,10 +74,11 @@ object ScalePair {
     *   scaling; reported for completeness.
     * @param checksumMatch the 4 legs' xxhash64 partial sums add up to
     *   the full-input leg's sum exactly (byte-identity across
-    *   parallelism levels). */
-  /** @param stealPct host steal (% of cpu ticks) over the whole pair
+    *   parallelism levels).
+    * @param stealPct host steal (% of cpu ticks) over the whole pair
     *   window — a high value marks the RUN as untrustworthy, not the
-    *   engine (see stealTicks). */
+    *   engine (see stealTicks); per-leg windows in stealAlonePct /
+    *   steal4nPct / stealFullPct. */
   final case class Result(
       nDocsPerSec: Double, n4DocsPerSec: Double, efficiency: Double,
       strongEfficiency: Double, checksumMatch: Boolean,
@@ -82,8 +87,11 @@ object ScalePair {
       stealFullPct: Double = -1.0) {
     /** A physically meaningful weak-scaling measurement: >1.05 means
       * the alone leg was steal-hit (the measurement is invalid, not
-      * that scaling is superlinear); ≤0 is a degenerate capture. */
-    def valid: Boolean = efficiency > 0.0 && efficiency <= 1.05
+      * that scaling is superlinear); ≤0 is a degenerate capture; and a
+      * run whose legs did not byte-identically reproduce the input
+      * (checksum mismatch) measured the wrong computation entirely. */
+    def valid: Boolean =
+      efficiency > 0.0 && efficiency <= 1.05 && checksumMatch
   }
 
   private val addOpens = Seq(

@@ -7,10 +7,15 @@ import org.apache.spark.sql.functions._
 /** As-of (point-in-time) join — an operator Spark lacks natively,
   * built by composition per the preference order (compose > custom
   * plan — builder brief; SURVEY.md §7.5): for every fact row, attach
-  * the latest dim row with the same key and dimTime <= factTime.
+  * the latest dim ROW with the same key and dimTime <= factTime.
+  *
+  * ROW semantics (the ASOF standard, and what the DuckDB ASOF oracle
+  * computes): the fill carries the latest dim row as ONE struct, so a
+  * null payload column in the latest row stays null — it is NOT
+  * back-filled per-column from an older row.
   *
   * Shape: union the two sides tagged, sort within key by (time, tag),
-  * then a running `last(dimValue, ignoreNulls)` window fill. ONE
+  * then a running `last(dimStruct, ignoreNulls)` window fill. ONE
   * shuffle (by key) regardless of table sizes — the scalable
   * alternative to a range-condition join, which Spark would plan as a
   * broadcast-nested-loop at large sizes.
@@ -44,24 +49,26 @@ object AsOfJoin {
     val dimSide0 = dim
       .withColumn("__t", col(dimTs))
       .withColumn("__tag", lit(0))
-    // align schemas: fact columns null on dim side and vice versa
+    // align schemas: fact columns null on dim side; the dim payload
+    // travels as ONE struct so the fill picks whole rows (row
+    // semantics), never mixes columns from different dim rows
     val factCols = factSide.columns.filterNot(c => c == "__t" || c == "__tag" || c == key)
-    val dimPay = dimCols.map(c => c -> s"__dim_$c")
+    val dimStructType = org.apache.spark.sql.types.StructType(
+      dimCols.map(c => dim.schema(c)))
     val unioned = factSide
       .select(Seq(col(key), col("__t"), col("__tag")) ++
-        factCols.map(col) ++ dimPay.map { case (_, a) => lit(null).as(a) }: _*)
+        factCols.map(col) :+ lit(null).cast(dimStructType).as("__dim"): _*)
       .unionByName(dimSide0.select(
         Seq(col(key), col("__t"), col("__tag")) ++
-          factCols.map(c => lit(null).cast(factSide.schema(c).dataType).as(c)) ++
-          dimPay.map { case (c, a) => col(c).as(a) }: _*))
+          factCols.map(c => lit(null).cast(factSide.schema(c).dataType).as(c)) :+
+          struct(dimCols.map(col): _*).as("__dim"): _*))
     val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = dimPay.foldLeft(unioned) { case (df, (_, a)) =>
-      df.withColumn(a, last(col(a), ignoreNulls = true).over(w))
-    }
+    val filled = unioned
+      .withColumn("__dim", last(col("__dim"), ignoreNulls = true).over(w))
     val renames: Seq[Column] =
       Seq(col(key)) ++ factCols.map(col) ++
-        dimPay.map { case (c, a) => col(a).as(s"dim_$c") }
+        dimCols.map(c => col(s"__dim.$c").as(s"dim_$c"))
     filled.filter(col("__tag") === 1).select(renames: _*)
   }
 
@@ -128,31 +135,31 @@ object AsOfJoin {
       .select(col(key), col("__b"), col("__seed"))
 
     // 3. one fill window per (key, bucket): seeds sort first (tag -1),
-    // then dims (0) before same-instant facts (1) — latestBefore's order
+    // then dims (0) before same-instant facts (1) — latestBefore's
+    // order and its ROW semantics (one struct carries the latest row)
     val factCols = factB.columns.filterNot(c => c == "__b" || c == key)
-    val dimPay = dimCols.map(c => c -> s"__dim_$c")
-    def nulls(names: Seq[(String, String)]) = names.map { case (_, a) => lit(null).as(a) }
+    val dimStructType = org.apache.spark.sql.types.StructType(
+      dimCols.map(c => dim.schema(c)))
     val factSide = factB.select(
       Seq(col(key), col("__b"), col(factTs).as("__t"), lit(1).as("__tag")) ++
-        factCols.map(col) ++ nulls(dimPay): _*)
+        factCols.map(col) :+ lit(null).cast(dimStructType).as("__dim"): _*)
     val dimSide = dimB.select(
       Seq(col(key), col("__b"), col(dimTs).as("__t"), lit(0).as("__tag")) ++
-        factCols.map(c => lit(null).cast(factB.schema(c).dataType).as(c)) ++
-        dimPay.map { case (c, a) => col(c).as(a) }: _*)
+        factCols.map(c => lit(null).cast(factB.schema(c).dataType).as(c)) :+
+        struct(dimCols.map(col): _*).as("__dim"): _*)
     val seedSide = seeds.select(
       Seq(col(key), col("__b"), col("__seed.__dts").as("__t"), lit(-1).as("__tag")) ++
-        factCols.map(c => lit(null).cast(factB.schema(c).dataType).as(c)) ++
-        dimPay.map { case (c, a) => col(s"__seed.$c").as(a) }: _*)
+        factCols.map(c => lit(null).cast(factB.schema(c).dataType).as(c)) :+
+        struct(dimCols.map(c => col(s"__seed.$c").as(c)): _*).as("__dim"): _*)
     val unioned = factSide.unionByName(dimSide).unionByName(seedSide)
     val fillW = Window.partitionBy(col(key), col("__b"))
       .orderBy(col("__t"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = dimPay.foldLeft(unioned) { case (df, (_, a)) =>
-      df.withColumn(a, last(col(a), ignoreNulls = true).over(fillW))
-    }
+    val filled = unioned
+      .withColumn("__dim", last(col("__dim"), ignoreNulls = true).over(fillW))
     val renames: Seq[Column] =
       Seq(col(key)) ++ factCols.map(col) ++
-        dimPay.map { case (c, a) => col(a).as(s"dim_$c") }
+        dimCols.map(c => col(s"__dim.$c").as(s"dim_$c"))
     filled.filter(col("__tag") === 1).select(renames: _*)
   }
 }

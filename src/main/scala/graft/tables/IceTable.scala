@@ -135,7 +135,11 @@ final class IceTable(val root: String, spark: SparkSession) {
   def commit(df: DataFrame, commitId: String, groups: Int = 8,
              abortAfterGroup: Int = -1): Long = {
     val (files, rows) = writeGroups(df, commitId, groups, abortAfterGroup)
-    flipSnapshot(commitId, files, rows, df.columns.toSeq)
+    // an overwrite manifest is parent-independent, so the freshest
+    // parent read is correct; a racing flip still collides on the
+    // snapshot id and raises ConcurrentCommitException
+    flipSnapshot(commitId, files, rows, df.columns.toSeq,
+      currentSnapshotId.getOrElse(-1L))
   }
 
   /** APPEND-commit: like `commit`, but the new snapshot's manifest is
@@ -148,7 +152,8 @@ final class IceTable(val root: String, spark: SparkSession) {
     * before re-adding, so they are never double-counted). The
     * snapshot's `lineage` stays per-commit (the DELTA's lineage). */
   def commitAppend(df: DataFrame, commitId: String, groups: Int = 1): Long = {
-    val parent = currentSnapshotId.map(readSnapshot)
+    val parentId = currentSnapshotId
+    val parent = parentId.map(readSnapshot)
     // replay safety: if the parent snapshot already carries this
     // commitId's files (crash AFTER the flip, foreachBatch replays the
     // batch), its row count already includes the delta — don't re-add
@@ -159,8 +164,13 @@ final class IceTable(val root: String, spark: SparkSession) {
     val (files, rows) = writeGroups(df, commitId, groups, -1)
     val mergedRows = parent.map(_.rows).getOrElse(0L) +
       (if (parentHadThis) 0L else rows)
+    // CAS against the parent this manifest was BUILT from: a racing
+    // commit that landed after our parent read must make THIS flip
+    // fail (the merged file list would silently drop its files if we
+    // re-read the current snapshot here) — caller retries, re-reading
+    // the new parent
     flipSnapshot(commitId, (parentFiles ++ files).sortBy(_.path),
-      mergedRows, df.columns.toSeq)
+      mergedRows, df.columns.toSeq, parentId.getOrElse(-1L))
   }
 
   private def writeGroups(df: DataFrame, commitId: String, groups: Int,
@@ -232,10 +242,10 @@ final class IceTable(val root: String, spark: SparkSession) {
     * delete), and a retry of the same commit is cheap: finished-group
     * markers skip the data rewrite, so only the manifest flip re-runs
     * against the new parent. */
-  private def flipSnapshot(commitId: String, files: Seq[DataFileEntry],
-                           rows: Long, schemaFields: Seq[String]): Long = {
+  private[tables] def flipSnapshot(commitId: String, files: Seq[DataFileEntry],
+                                   rows: Long, schemaFields: Seq[String],
+                                   parent: Long): Long = {
     val lineageDir = s"$root/metadata/lineage/$commitId"
-    val parent = currentSnapshotId.getOrElse(-1L)
     val next = parent + 1
     val json = renderSnapshot(Snapshot(next, parent, commitId, files, rows, lineageDir,
       Some(schemaFields)))

@@ -56,6 +56,29 @@ class AsOfJoinSkewSpec extends AnyFunSuite {
     }
   }
 
+  test("ROW semantics: a null payload in the latest dim row stays null") {
+    // the ASOF standard (and the DuckDB oracle) attach the latest ROW;
+    // a per-column last-non-null fill would wrongly back-fill value=5
+    // from the older row — both variants must agree with ASOF here
+    import spark.implicits._
+    val facts = Seq((1L, 10L, 25L), (2L, 10L, 5L)).toDF("event_id", "user_id", "ts")
+    val dims = Seq(
+      (10L, 1L, Some(5L)),   // older row, non-null payload
+      (10L, 12L, None)       // LATEST row before fact 1: null payload
+    ).toDF("user_id", "dim_ts", "value")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "dim_value").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val base = run(graft.ops.AsOfJoin.latestBefore(
+      facts, dims, "user_id", "ts", "dim_ts", Seq("value")))
+    assert(base == Map(1L -> None, 2L -> Some(5L)), s"got $base")
+    Seq(1000L, 7L).foreach { width =>
+      val b = run(graft.ops.AsOfJoin.latestBeforeBucketed(
+        facts, dims, "user_id", "ts", "dim_ts", Seq("value"), width))
+      assert(b == base, s"width=$width diverged on null payload")
+    }
+  }
+
   test("bucketed variant == latestBefore on the events table (q20 shape)") {
     import org.apache.spark.sql.functions._
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")

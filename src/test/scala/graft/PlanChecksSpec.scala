@@ -123,7 +123,7 @@ class PlanChecksSpec extends AnyFunSuite {
     // the aggregated per-bucket frame (bucket-count-bounded)
     val windowSpecs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
     assert(windowSpecs.nonEmpty, p.take(600))
-    val fillSpecs = windowSpecs.filter(_.contains("__dim_"))
+    val fillSpecs = windowSpecs.filter(_.contains("__dim#"))
     assert(fillSpecs.nonEmpty, s"fill window not found:\n${windowSpecs.mkString("\n")}")
     fillSpecs.foreach { w =>
       assert(w.contains("__b"), s"fill window must partition by (key, __b): $w")

@@ -39,4 +39,27 @@ class IceTableCasSpec extends AnyFunSuite {
     // both tmp files are cleaned up either way
     assert(!fs.exists(t1) && !fs.exists(t2))
   }
+
+  test("flip CASes against the OBSERVED parent, not a re-read") {
+    // the append-race regression: committer B merged its file list
+    // against parent -1 (empty table); A lands snap-0 before B flips.
+    // A flip that re-read the current snapshot would take snap-1 and
+    // silently drop A's files from the chain — B must instead fail
+    // with ConcurrentCommitException and retry from the new parent.
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("icetable-cas-parent").toString
+    val table = new IceTable(root, spark)
+    val df = spark.range(0, 10).select(col("id"),
+      pmod(col("id"), lit(2)).cast("int").as("bucket"),
+      lit(null).cast("string").as("error"), lit("t").as("text"))
+    assert(table.commitAppend(df, "a") == 0L) // A wins snap-0
+    intercept[IceTable.ConcurrentCommitException] {
+      // B's manifest was built against the EMPTY table (parent -1)
+      table.flipSnapshot("b", Nil, 0L, Seq("id"), parent = -1L)
+    }
+    // the chain is intact: snap-0 still carries A's commit
+    assert(table.snapshots == Seq(0L))
+    assert(table.readSnapshot(0L).commitId == "a")
+    assert(table.read().count() == 10)
+  }
 }
