@@ -79,6 +79,49 @@ class AsOfJoinSkewSpec extends AnyFunSuite {
     }
   }
 
+  test("property: both variants match brute force on random shapes with nulls") {
+    import spark.implicits._
+    // deterministic pseudo-random fact/dim sets: sparse + dense keys,
+    // duplicate fact times, null payloads, dims after all facts,
+    // keys with facts but no dims and vice versa
+    (0 until 4).foreach { trial =>
+      val rng = new java.util.Random(9000L + trial)
+      val nKeys = 6
+      val facts = (0 until 400).map { i =>
+        (i.toLong, rng.nextInt(nKeys).toLong, rng.nextInt(500).toLong)
+      }
+      val dims = (0 until 150).map { i =>
+        (rng.nextInt(nKeys - 1).toLong, // key nKeys-1 never gets dims
+          rng.nextInt(520).toLong,
+          if (rng.nextInt(4) == 0) None else Some(rng.nextInt(1000).toLong))
+      }.groupBy(d => (d._1, d._2)) // dedupe same-(key, ts): max payload
+        .map { case ((k, t), rs) =>
+          (k, t, rs.map(_._3).maxBy(_.getOrElse(Long.MinValue)))
+        }.toSeq
+      val factDf = facts.toDF("event_id", "user_id", "ts")
+      val dimDf = dims.map { case (k, t, v) => (k, t, v.map(Long.box).orNull) }
+        .toDF("user_id", "dim_ts", "value")
+      def run(df: org.apache.spark.sql.DataFrame) =
+        df.select("event_id", "dim_value").collect()
+          .map(r => r.getLong(0) ->
+            (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      // brute force, ROW semantics: latest dim row's payload, even if null
+      val byKey = dims.groupBy(_._1).map { case (k, rs) => k -> rs.sortBy(_._2) }
+      val expected = facts.map { case (eid, k, ts) =>
+        eid -> byKey.getOrElse(k, Seq.empty).filter(_._2 <= ts)
+          .lastOption.flatMap(_._3)
+      }.toMap
+      val base = run(graft.ops.AsOfJoin.latestBefore(
+        factDf, dimDf, "user_id", "ts", "dim_ts", Seq("value")))
+      assert(base == expected, s"trial=$trial latestBefore diverged from brute force")
+      Seq(1000L, 64L, 9L).foreach { width =>
+        val b = run(graft.ops.AsOfJoin.latestBeforeBucketed(
+          factDf, dimDf, "user_id", "ts", "dim_ts", Seq("value"), width))
+        assert(b == expected, s"trial=$trial width=$width bucketed diverged")
+      }
+    }
+  }
+
   test("bucketed variant == latestBefore on the events table (q20 shape)") {
     import org.apache.spark.sql.functions._
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
