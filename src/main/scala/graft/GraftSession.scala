@@ -60,10 +60,11 @@ object GraftSession {
         case n: java.lang.Byte => n.intValue()
         case n: java.lang.Short => n.intValue()
         case n: java.lang.Integer => n.intValue()
-        case n: java.lang.Long => n.intValue()
-        // fractional k (3.7) must error, not silently truncate to 3
+        case n: java.lang.Long if n.longValue == n.intValue.toLong => n.intValue()
+        // fractional (3.7) or out-of-int-range k must error, never
+        // silently truncate/wrap
         case other => throw new IllegalArgumentException(
-          s"graft_topk: k must be an integer literal, got $other")
+          s"graft_topk: k must be an Int-range integer literal, got $other")
       }
       if (k < 0)
         throw new IllegalArgumentException(s"graft_topk: k must be >= 0, got $k")

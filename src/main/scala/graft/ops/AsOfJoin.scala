@@ -34,6 +34,28 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** ROW-semantics plumbing shared by both variants — the single place
+    * the as-of payload contract lives: the dim payload travels as ONE
+    * nullable struct (`__dim`), facts carry a typed null, the fill
+    * window picks whole rows, and the output projects `__dim.<c>` as
+    * `dim_<c>`. Both variants MUST use this (the bucketed variant
+    * shares q20's ASOF oracle on the premise that semantics are
+    * identical). */
+  private final case class DimStruct(
+      structType: org.apache.spark.sql.types.StructType, dimCols: Seq[String]) {
+    def nullCol: Column = lit(null).cast(structType).as("__dim")
+    def fromDim: Column = struct(dimCols.map(col): _*).as("__dim")
+    def fromSeed: Column =
+      struct(dimCols.map(c => col(s"__seed.$c").as(c)): _*).as("__dim")
+    def renames: Seq[Column] = dimCols.map(c => col(s"__dim.$c").as(s"dim_$c"))
+    def fill(df: DataFrame, w: org.apache.spark.sql.expressions.WindowSpec): DataFrame =
+      df.withColumn("__dim", last(col("__dim"), ignoreNulls = true).over(w))
+  }
+
+  private def dimStruct(dim: DataFrame, dimCols: Seq[String]): DimStruct =
+    DimStruct(
+      org.apache.spark.sql.types.StructType(dimCols.map(c => dim.schema(c))), dimCols)
+
   /** @param fact   fact table
     * @param dim    dimension/state-change table
     * @param key    equi-key column name (same name both sides)
@@ -53,22 +75,19 @@ object AsOfJoin {
     // travels as ONE struct so the fill picks whole rows (row
     // semantics), never mixes columns from different dim rows
     val factCols = factSide.columns.filterNot(c => c == "__t" || c == "__tag" || c == key)
-    val dimStructType = org.apache.spark.sql.types.StructType(
-      dimCols.map(c => dim.schema(c)))
+    val ds = dimStruct(dim, dimCols)
     val unioned = factSide
       .select(Seq(col(key), col("__t"), col("__tag")) ++
-        factCols.map(col) :+ lit(null).cast(dimStructType).as("__dim"): _*)
+        factCols.map(col) :+ ds.nullCol: _*)
       .unionByName(dimSide0.select(
         Seq(col(key), col("__t"), col("__tag")) ++
           factCols.map(c => lit(null).cast(factSide.schema(c).dataType).as(c)) :+
-          struct(dimCols.map(col): _*).as("__dim"): _*))
+          ds.fromDim: _*))
     val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = unioned
-      .withColumn("__dim", last(col("__dim"), ignoreNulls = true).over(w))
+    val filled = ds.fill(unioned, w)
     val renames: Seq[Column] =
-      Seq(col(key)) ++ factCols.map(col) ++
-        dimCols.map(c => col(s"__dim.$c").as(s"dim_$c"))
+      Seq(col(key)) ++ factCols.map(col) ++ ds.renames
     filled.filter(col("__tag") === 1).select(renames: _*)
   }
 
@@ -136,30 +155,27 @@ object AsOfJoin {
 
     // 3. one fill window per (key, bucket): seeds sort first (tag -1),
     // then dims (0) before same-instant facts (1) — latestBefore's
-    // order and its ROW semantics (one struct carries the latest row)
+    // order and its ROW semantics (the shared DimStruct plumbing)
     val factCols = factB.columns.filterNot(c => c == "__b" || c == key)
-    val dimStructType = org.apache.spark.sql.types.StructType(
-      dimCols.map(c => dim.schema(c)))
+    val ds = dimStruct(dim, dimCols)
     val factSide = factB.select(
       Seq(col(key), col("__b"), col(factTs).as("__t"), lit(1).as("__tag")) ++
-        factCols.map(col) :+ lit(null).cast(dimStructType).as("__dim"): _*)
+        factCols.map(col) :+ ds.nullCol: _*)
     val dimSide = dimB.select(
       Seq(col(key), col("__b"), col(dimTs).as("__t"), lit(0).as("__tag")) ++
         factCols.map(c => lit(null).cast(factB.schema(c).dataType).as(c)) :+
-        struct(dimCols.map(col): _*).as("__dim"): _*)
+        ds.fromDim: _*)
     val seedSide = seeds.select(
       Seq(col(key), col("__b"), col("__seed.__dts").as("__t"), lit(-1).as("__tag")) ++
         factCols.map(c => lit(null).cast(factB.schema(c).dataType).as(c)) :+
-        struct(dimCols.map(c => col(s"__seed.$c").as(c)): _*).as("__dim"): _*)
+        ds.fromSeed: _*)
     val unioned = factSide.unionByName(dimSide).unionByName(seedSide)
     val fillW = Window.partitionBy(col(key), col("__b"))
       .orderBy(col("__t"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = unioned
-      .withColumn("__dim", last(col("__dim"), ignoreNulls = true).over(fillW))
+    val filled = ds.fill(unioned, fillW)
     val renames: Seq[Column] =
-      Seq(col(key)) ++ factCols.map(col) ++
-        dimCols.map(c => col(s"__dim.$c").as(s"dim_$c"))
+      Seq(col(key)) ++ factCols.map(col) ++ ds.renames
     filled.filter(col("__tag") === 1).select(renames: _*)
   }
 }

@@ -64,7 +64,25 @@ object StreamingExtract {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val out = batch.withColumn("bucket",
           pmod(xxhash64(col("url")), lit(buckets)).cast("int"))
-        if (!out.isEmpty) { table.commitAppend(out, s"stream-$batchId"); () }
+        if (!out.isEmpty) {
+          // bounded retry on the snapshot CAS: another writer (e.g. a
+          // compact() on the same table) landing between this batch's
+          // parent read and its flip raises ConcurrentCommitException;
+          // a retry re-reads the new parent and is cheap (finished
+          // group markers skip the data rewrite). Exhausted retries
+          // fail the query loudly — never a silent drop.
+          var attempts = 0
+          var done = false
+          while (!done) {
+            attempts += 1
+            try { table.commitAppend(out, s"stream-$batchId"); done = true }
+            catch {
+              case e: graft.tables.IceTable.ConcurrentCommitException
+                  if attempts < 3 =>
+                System.err.println(s"[stream] batch $batchId lost a commit race, retrying: ${e.getMessage}")
+            }
+          }
+        }
       }
       .start()
   }
