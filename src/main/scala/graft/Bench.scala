@@ -86,18 +86,20 @@ object Bench {
     // N-vs-4N scaling pair (BASELINE.json target): 1 vs 4 pinned
     // executor-JVMs (own heap+GC each) over the same staged input —
     // the honest sandbox stand-in for 1 vs 4 cluster executors
-    // (ScalePair scaladoc). Run THREE times (SPARK_GRAFT_SCALE_PAIRS):
-    // the HEADLINE is the median of VALID runs (efficiency in
-    // (0, 1.05] — >1 means the alone leg was steal-hit, i.e. the
-    // measurement is invalid, never "superlinear scaling"; VERDICT r2
-    // "What's wrong" #1), and the median-of-3 survives one
-    // steal-poisoned pair in either direction (observed: a burst
-    // hitting only one run's 4N window drags that pair to 0.48 while
-    // its neighbors read 0.86-0.97). Every raw value plus per-phase
-    // steal windows is reported AND appended to scaling_history.jsonl,
-    // so the ≥0.8 claim rests on a cumulative machine-readable record.
-    // The checksum gate is unaffected either way. SPARK_GRAFT_SCALE=0
-    // skips.
+    // (ScalePair scaladoc). The HEADLINE is the true median of VALID
+    // runs (valid = efficiency in (0, 1.05] and checksums match — >1
+    // means the alone leg was steal-hit, i.e. the measurement is
+    // invalid, never "superlinear scaling"; VERDICT r2 "What's wrong"
+    // #1); pairs run until THREE valid measurements exist (capped), so
+    // an invalidated run tops the sample back up instead of shrinking
+    // the median to a fragile two-point pick, and a median-of-3
+    // survives one steal-poisoned pair in either direction (observed:
+    // a burst hitting only one run's 4N window drags that pair to 0.48
+    // while its neighbors read 0.86-0.97). Every raw value plus
+    // per-phase steal windows is reported AND appended to
+    // scaling_history.jsonl, so the ≥0.8 claim rests on a cumulative
+    // machine-readable record. The checksum gate is unaffected either
+    // way. SPARK_GRAFT_SCALE=0 skips.
     //
     // The in-process Spark session must be STOPPED first: its 32
     // executor threads + GC otherwise compete with the pinned leg JVMs
@@ -105,19 +107,36 @@ object Bench {
     // standalone — enough to push weak pairs from ~0.86 to ~0.72).
     // Everything below here only reads local vars.
     spark.stop()
+    // adaptive sample size: a run the validity rule rejects (steal-hit
+    // alone leg → efficiency >1.05, or checksum mismatch) reduces the
+    // sample, so keep measuring until `nPairs` VALID runs exist, up to
+    // `maxPairs` attempts — a median over <3 points is fragile
     val nPairs = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAIRS", "3").toInt
-    val scaleRuns =
-      if (sys.env.getOrElse("SPARK_GRAFT_SCALE", "1") == "1")
-        (1 to nPairs).flatMap { i =>
-          try Some(ScalePair.run(stage, cores = 8, reps = 3))
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] scale pair $i failed: ${e.getMessage}"); None
-          }
+    val maxPairs = math.max(nPairs + 2, nPairs)
+    val scaleRuns = scala.collection.mutable.ArrayBuffer.empty[ScalePair.Result]
+    if (sys.env.getOrElse("SPARK_GRAFT_SCALE", "1") == "1") {
+      var i = 0
+      while (i < maxPairs && scaleRuns.count(_.valid) < nPairs) {
+        i += 1
+        try scaleRuns += ScalePair.run(stage, cores = 8, reps = 3)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] scale pair $i failed: ${e.getMessage}")
         }
-      else Seq.empty
-    val validRuns = scaleRuns.filter(_.valid)
-    // lower-middle median: conservative for even counts
-    val headline = validRuns.sortBy(_.efficiency).lift((validRuns.size - 1) / 2)
+      }
+    }
+    val validRuns = scaleRuns.filter(_.valid).toSeq
+    // true median (mean of the middle two for even counts — the
+    // standard estimator; a lower-middle pick is biased pessimistic)
+    def median(xs: Seq[Double]): Option[Double] = {
+      if (xs.isEmpty) return None
+      val s = xs.sorted
+      Some(if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0)
+    }
+    val headlineEff = median(validRuns.map(_.efficiency))
+    // representative run for the docs/sec fields: closest to the headline
+    val headline = headlineEff.map(h =>
+      validRuns.minBy(r => math.abs(r.efficiency - h)))
 
     // cumulative scaling record (VERDICT r2 #7): one JSONL line per
     // pair run, valid or not, with its steal window
@@ -140,9 +159,8 @@ object Bench {
     val scaleJson = headline.map { r =>
       val all = scaleRuns.map(x => f"${x.efficiency}%.3f").mkString("[", ",", "]")
       val steals = scaleRuns.map(x => f"${x.stealPct}%.3f").mkString("[", ",", "]")
-      val strongHeadline = validRuns.map(_.strongEfficiency).sorted
-        .apply((validRuns.size - 1) / 2)
-      f""","scale_n_docs_per_sec":${r.nDocsPerSec}%.1f,"scale_4n_docs_per_sec":${r.n4DocsPerSec}%.1f,"scaling_efficiency":${r.efficiency}%.3f,"scaling_efficiency_strong":$strongHeadline%.3f,"scaling_efficiency_runs":$all,"scale_steal_pcts":$steals,"scaling_valid_runs":${validRuns.size},"scale_checksum_match":${scaleRuns.forall(_.checksumMatch)}"""
+      val strongHeadline = median(validRuns.map(_.strongEfficiency)).get
+      f""","scale_n_docs_per_sec":${r.nDocsPerSec}%.1f,"scale_4n_docs_per_sec":${r.n4DocsPerSec}%.1f,"scaling_efficiency":${headlineEff.get}%.3f,"scaling_efficiency_strong":$strongHeadline%.3f,"scaling_efficiency_runs":$all,"scale_steal_pcts":$steals,"scaling_valid_runs":${validRuns.size},"scale_checksum_match":${scaleRuns.forall(_.checksumMatch)}"""
     }.getOrElse(
       if (scaleRuns.isEmpty) ""
       else {
