@@ -10,11 +10,16 @@ import org.apache.spark.sql.functions._
   * The IMAGE branch is a REAL decoder: payloads are real PNG/JPEG
   * bytes (both JDK-bundled codecs, alternating per row) and decode
   * goes through `javax.imageio` — no external library needed — with
-  * width/height/features computed from actual decoded pixels. Audio/video decode kernels remain STUBS (no
-  * audio/video codecs ship with the JDK or this container): header
-  * parse is real, the "sample decode" is a deterministic byte
-  * histogram standing in for a codec, behind the clearly-marked seam
-  * below. Everything Spark-side is real and tested either way:
+  * width/height/features computed from actual decoded pixels. The
+  * AUDIO branch is likewise REAL: payloads are real RIFF/WAVE files
+  * (16-bit PCM mono) and decode goes through JDK-bundled
+  * `javax.sound.sampled.AudioSystem`, with the frame count, sample
+  * rate, and amplitude-histogram feature computed from actually
+  * decoded samples. Only the VIDEO decode kernel remains a STUB (no
+  * video codec ships with the JDK or this container): header parse is
+  * real, the "frame decode" is a deterministic byte histogram standing
+  * in for a codec, behind the clearly-marked seam below. Everything
+  * Spark-side is real and tested either way:
   * schema, typed Dataset stages, partition-preserving mapPartitions
   * batch shape (one decoder init per partition, the Pandas-UDF-
   * equivalent batching discipline), error-as-row, and the explode
@@ -22,8 +27,9 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  /** Opaque media row. Image payloads are real PNG bytes; audio/video
-    * payloads use the fake container layout:
+  /** Opaque media row. Image payloads are real PNG/JPEG bytes, audio
+    * payloads are real RIFF/WAVE bytes; video payloads use the fake
+    * container layout:
     * magic "GMM0" | kind byte | width int32 BE | height int32 BE |
     * nFrames int32 BE | body bytes. */
   final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
@@ -42,10 +48,14 @@ object Multimodal {
     * modular arithmetic of the id (NOT a PRNG) so the decoded metadata
     * is independently recomputable by the driver's DuckDB oracle —
     * m1/m2 are hash-compared end to end, not rows-only. Images are
-    * REAL PNGs (deterministic pixel pattern) so the imageio decode
-    * path runs on every image row. Every 50th+7 row gets a corrupted
-    * payload (truncated PNG for images, bad magic for audio/video),
-    * planting the error-as-row path. */
+    * REAL PNGs/JPEGs (deterministic pixel pattern) so the imageio
+    * decode path runs on every image row, and audio rows are REAL
+    * WAVs (deterministic 16-bit PCM) so the javax.sound decode path
+    * runs on every audio row; the WAV's frame count and sample rate
+    * deliberately reuse the width/height formulas so the oracle's
+    * metadata arithmetic is kind-independent. Every 50th+7 row gets a
+    * corrupted payload (truncated PNG for images, truncated WAV for
+    * audio, bad magic for video), planting the error-as-row path. */
   def gen(spark: SparkSession, n: Long): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(0L, n).map { id =>
@@ -62,6 +72,12 @@ object Multimodal {
           val img = makeImage(w, h, id, fmt)
           if (planted) java.util.Arrays.copyOfRange(img, 0, 20) // truncated
           else img
+        } else if (kind == "audio") {
+          // real WAV: w frames of 16-bit PCM mono at h Hz — decoded
+          // width/height land on the same formulas as the other kinds
+          val wav = makeWav(nSamples = w, sampleRate = h, id)
+          if (planted) java.util.Arrays.copyOfRange(wav, 0, 20) // truncated
+          else wav
         } else {
           val bodyLen = (64 + (id * 29) % 192).toInt
           val body = Array.tabulate[Byte](bodyLen)(i => ((id * 131 + i * 7) % 256).toByte)
@@ -99,16 +115,47 @@ object Multimodal {
 
   def makePng(w: Int, h: Int, id: Long): Array[Byte] = makeImage(w, h, id, "png")
 
+  /** Deterministic RIFF/WAVE file via the JDK encoder: `nSamples`
+    * frames of 16-bit little-endian PCM mono at `sampleRate` Hz,
+    * sample i = (id*131 + i*7) mod 2^16 − 2^15. PCM is lossless, so
+    * the decoded samples (and the histogram feature) are bit-exactly
+    * recomputable. */
+  def makeWav(nSamples: Int, sampleRate: Int, id: Long): Array[Byte] = {
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val s = ((id * 131 + i * 7) % 65536 - 32768).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true /* signed */, false /* little-endian */)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val out = new java.io.ByteArrayOutputStream(pcm.length + 64)
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
   @inline private def isPng(b: Array[Byte]): Boolean =
     b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
 
   @inline private def isJpeg(b: Array[Byte]): Boolean =
     b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff
 
+  @inline private def isWav(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
   /** Decode one payload. Images: REAL imageio decode — metadata and the
     * 8-bin red-channel histogram come from decoded pixels; a payload
-    * imageio cannot parse is `bad image`. Audio/video: real header
-    * parse, stubbed sample decode (seam below). */
+    * imageio cannot parse is `bad image`. Audio: REAL javax.sound
+    * decode — frame count, sample rate, and the 8-bin amplitude
+    * histogram come from decoded PCM samples; a RIFF payload the
+    * decoder cannot parse is `bad audio`. Video: real header parse,
+    * stubbed frame decode (seam below). */
   private def decode(payload: Array[Byte]): Either[String, (Int, Int, Int, Array[Float])] = {
     if (payload == null || payload.length < 8) return Left("bad magic")
     if (isPng(payload) || isJpeg(payload)) {
@@ -128,14 +175,42 @@ object Multimodal {
       }
       return Right((img.getWidth, img.getHeight, 1, feat))
     }
+    if (isWav(payload)) {
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val fmt = ais.getFormat
+        val nFrames = ais.getFrameLength
+        // canonical WAV PCM: 16-bit signed little-endian (any channel
+        // count — channel 0 feeds the feature); anything else is a
+        // container we can't decode samples from
+        if (nFrames <= 0 || nFrames > Int.MaxValue ||
+            fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+            fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+          return Left("bad audio")
+        val frameSize = fmt.getFrameSize
+        val data = ais.readAllBytes()
+        if (data.length < nFrames * frameSize) return Left("bad audio")
+        // 8-bin amplitude histogram over decoded channel-0 samples
+        val feat = new Array[Float](8)
+        var i = 0
+        while (i < nFrames) {
+          val lo = data(i * frameSize) & 0xff
+          val hi = data(i * frameSize + 1).toInt // sign-carrying high byte
+          feat(((hi << 8 | lo) + 32768) >> 13) += 1f
+          i += 1
+        }
+        return Right((nFrames.toInt, fmt.getSampleRate.toInt, 1, feat))
+      } catch { case _: Exception => return Left("bad audio") }
+    }
     if (payload.length < 17 ||
         payload(0) != 'G' || payload(1) != 'M' || payload(2) != 'M' || payload(3) != '0')
       return Left("bad magic")
     val bb = java.nio.ByteBuffer.wrap(payload, 5, 12)
     val w = bb.getInt; val h = bb.getInt; val frames = bb.getInt
     if (w <= 0 || h <= 0 || frames <= 0) return Left("bad header")
-    // --- real audio/video decoder seam: replace from here -----------
-    // val samples = ??? // e.g. ffmpeg bindings — not in container/JDK
+    // --- real video decoder seam: replace from here ------------------
+    // val frames = ??? // e.g. ffmpeg bindings — not in container/JDK
     // deterministic fake: 8-dim byte-histogram feature from the body
     val feat = new Array[Float](8)
     var i = 17

@@ -196,7 +196,8 @@ object OpsQueries {
         .withColumn("repetitive", col("distinct_ratio") < 0.5)
         .orderBy("doc_id")
     }),
-    // multimodal plumbing: stub decode + feature schema + frame sample
+    // multimodal: real image/audio decode (stub video) + feature schema
+    // + frame sample
     "m1_media_features" -> ((s, _) => {
       val feats = Multimodal.features(Multimodal.gen(s, 300)).toDF()
       feats.select(col("media_id"), col("kind"), col("width"), col("height"),
@@ -605,7 +606,9 @@ object OpsQueries {
         |      WHEN media_id % 3 = 2 THEN 1 + (media_id * 91) % 240 ELSE 1 END AS n_frames,
         | CASE WHEN media_id % 50 = 7 THEN 0 ELSE 8 END AS feat_dim,
         | CASE WHEN media_id % 50 = 7
-        |      THEN CASE WHEN media_id % 3 = 0 THEN 'bad image' ELSE 'bad magic' END
+        |      THEN CASE WHEN media_id % 3 = 0 THEN 'bad image'
+        |                WHEN media_id % 3 = 1 THEN 'bad audio'
+        |                ELSE 'bad magic' END
         |      ELSE NULL END AS decode_error
         |FROM range(0, 300) t(media_id) ORDER BY media_id""".stripMargin,
     "m2_frame_sample" ->

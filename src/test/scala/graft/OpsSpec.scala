@@ -211,16 +211,20 @@ class OpsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("unknown graft engine"), e2.getMessage)
   }
 
-  test("multimodal: real image decode + stub a/v plumbing, frame sampling") {
+  test("multimodal: real image+audio decode, stub video plumbing, frame sampling") {
     val feats = Multimodal.features(Multimodal.gen(spark, 300))
     val rows = feats.collect()
     assert(rows.length == 300)
     // gen plants a corrupted payload every 50th+7 row (error-as-row
     // path, DuckDB-oracled in m1); everything else decodes cleanly
     val (bad50, good) = rows.partition(_.media_id % 50 == 7)
-    assert(bad50.nonEmpty && bad50.forall(r =>
-      r.decode_error == (if (r.kind == "image") "bad image" else "bad magic")))
+    assert(bad50.nonEmpty && bad50.forall(r => r.decode_error == (r.kind match {
+      case "image" => "bad image"
+      case "audio" => "bad audio"
+      case _       => "bad magic"
+    })))
     assert(bad50.exists(_.kind == "image"), "planted errors must hit the image path too")
+    assert(bad50.exists(_.kind == "audio"), "planted errors must hit the audio path too")
     assert(good.forall(_.decode_error == null))
     assert(good.forall(r => r.width >= 16 && r.height >= 16 && r.feature.length == 8))
     // image metadata comes from REAL imageio decode of real PNG pixels;
@@ -234,6 +238,16 @@ class OpsSpec extends AnyFunSuite {
     // both JDK codecs must actually run (gen alternates PNG and JPEG)
     assert(images.exists(r => (r.media_id / 3) % 2 == 0), "png rows present")
     assert(images.exists(r => (r.media_id / 3) % 2 == 1), "jpeg rows present")
+    // audio metadata comes from REAL javax.sound decode of real WAVs:
+    // width = decoded frame count, height = decoded sample rate, and
+    // the amplitude histogram has one count per decoded sample
+    val audios = good.filter(_.kind == "audio")
+    assert(audios.nonEmpty)
+    audios.foreach { r =>
+      assert(r.width == (16 + (r.media_id * 37) % 512).toInt, s"id=${r.media_id}")
+      assert(r.height == (16 + (r.media_id * 73) % 512).toInt, s"id=${r.media_id}")
+      assert(r.n_frames == 1 && r.feature.sum == r.width.toFloat, s"id=${r.media_id}")
+    }
     val frames = Multimodal.frameSample(feats.toDF(), 24).collect()
     assert(frames.nonEmpty)
     val videos = good.filter(_.kind == "video")
@@ -259,5 +273,28 @@ class OpsSpec extends AnyFunSuite {
     assert(out.width == 3 && out.height == 2 && out.n_frames == 1)
     // red-channel histogram (>>5 bins) of the known pixels
     assert(out.feature.toSeq == Seq(3f, 1f, 0f, 0f, 0f, 0f, 1f, 1f))
+  }
+
+  test("multimodal: decodes a hand-built WAV fixture") {
+    import spark.implicits._
+    // canonical 44-byte RIFF/WAVE header + 4 frames of 16-bit PCM mono
+    // at 8000 Hz, assembled field by field (NOT via AudioSystem.write):
+    // samples -32768, -1, 0, 32767 → amplitude bins 0, 3, 4, 7
+    val bb = java.nio.ByteBuffer.allocate(52).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(44).put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1 /* PCM */).putShort(1 /* mono */).putInt(8000)
+      .putInt(16000 /* byte rate */).putShort(2 /* block align */).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(8)
+      .putShort(-32768).putShort(-1).putShort(0).putShort(32767)
+    val out = Multimodal.features(
+      Seq(Multimodal.MediaRow(2L, "audio", bb.array())).toDS()).collect().head
+    assert(out.decode_error == null)
+    assert(out.width == 4 && out.height == 8000 && out.n_frames == 1)
+    assert(out.feature.toSeq == Seq(1f, 0f, 0f, 1f, 1f, 0f, 0f, 1f))
+    // truncating mid-header (RIFF magic intact) is 'bad audio', not a crash
+    val trunc = Multimodal.features(Seq(Multimodal.MediaRow(3L, "audio",
+      java.util.Arrays.copyOfRange(bb.array(), 0, 20))).toDS()).collect().head
+    assert(trunc.decode_error == "bad audio")
   }
 }
