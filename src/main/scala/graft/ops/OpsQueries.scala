@@ -63,6 +63,21 @@ object OpsQueries {
           k = 64, bands = 16, minEstJaccard = 0.5)
         .orderBy("id_a", "id_b")
     }),
+    // duplicate clusters: the step after pair generation — connected
+    // components over the d3 pair list (min-label propagation), canon
+    // doc = least id in the cluster; oracle recomputes the closure
+    // over the same bit-exact pair list with a recursive CTE
+    "d6_dup_clusters" -> ((s, dir) => {
+      GraftSession.register(s)
+      val pairs = Dedup.minhashPairs(docsWithNearDups(s, dir), "doc_id", "text",
+        k = 64, bands = 16, minEstJaccard = 0.5)
+      val cc = Dedup.connectedComponents(pairs)
+      val sizes = cc.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+      cc.join(sizes, "component")
+        .select(col("id").as("doc_id"), col("component").as("canon_id"),
+          col("cluster_size"))
+        .orderBy("doc_id")
+    }),
     // SimHash hamming-band dedup
     "d4_simhash" -> ((s, dir) => {
       GraftSession.register(s)
@@ -196,6 +211,81 @@ object OpsQueries {
         .withColumn("repetitive", col("distinct_ratio") < 0.5)
         .orderBy("doc_id")
     }),
+    // PII redaction (training-data scrub): emails / IPv4s / intl phone
+    // numbers replaced with typed placeholders + per-kind counts.
+    // Row-local (regexp codegen, no shuffle — the 100 TB shape); the
+    // patterns avoid backtracking-only constructs so Java regex and
+    // the oracle's RE2 agree byte for byte. PII is planted
+    // deterministically (doc_id arithmetic) so counts are non-trivial
+    // and the oracle recomputes the whole scrub from first principles.
+    "t6_redact" -> ((s, dir) => {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ipv4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+      val phone = "\\+[0-9]{7,15}"
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0,
+            concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit(" from 10.0."), col("doc_id") % 256, lit(".7")))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit(" call +4915"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))).as("text"))
+      planted.select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(email), lit(0))).as("n_emails"),
+          size(regexp_extract_all(col("text"), lit(ipv4), lit(0))).as("n_ips"),
+          size(regexp_extract_all(col("text"), lit(phone), lit(0))).as("n_phones"),
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("text"), email, "<EMAIL>"),
+              ipv4, "<IP>"),
+            phone, "<PHONE>").as("redacted"))
+        .orderBy("doc_id")
+    }),
+    // URL canonicalization (the step before any url-keyed crawl dedup
+    // or host bucketing): lowercase scheme+host, drop the scheme's
+    // default port, strip fragments and tracking params (utm_*/
+    // fbclid/gclid), sort surviving query params. Row-local regexp +
+    // array built-ins (codegen, no shuffle). URLs are planted
+    // deterministically with mixed case / ports / params / fragments
+    // so every rule fires; the oracle recomputes the whole
+    // canonicalization from first principles.
+    "u1_url_canon" -> ((s, dir) => {
+      val url = concat(
+        when(col("doc_id") % 3 === 0, lit("HTTP")).otherwise(lit("https")),
+        lit("://"),
+        when(col("doc_id") % 2 === 0, lit("WWW.")).otherwise(lit("")),
+        lit("Site"), col("doc_id") % 97, lit(".Example.COM"),
+        when(col("doc_id") % 4 === 0, lit(":80"))
+          .when(col("doc_id") % 4 === 1, lit(":443"))
+          .when(col("doc_id") % 4 === 2, lit(":8080")).otherwise(lit("")),
+        lit("/a/"), col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+            concat(lit("?utm_source=feed&id="), col("doc_id") % 50, lit("&utm_campaign=x")))
+          .when(col("doc_id") % 5 === 1, concat(lit("?b=2&a=1&fbclid=f"), col("doc_id")))
+          .when(col("doc_id") % 5 === 2, lit("?z=9")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, concat(lit("#frag"), col("doc_id") % 5))
+          .otherwise(lit("")))
+      val scheme = lower(regexp_extract(col("url"), "^([A-Za-z]+)://", 1))
+      val hostport = lower(regexp_extract(col("url"), "^[A-Za-z]+://([^/?#]+)", 1))
+      val host = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+        .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+        .otherwise(hostport)
+      val path = regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+      val query = regexp_extract(col("url"), "\\?([^#]*)", 1)
+      val parts = filter(split(query, "&"), p => p =!= "")
+      val kept = filter(parts, p =>
+        !startswith(p, lit("utm_")) && !startswith(p, lit("fbclid=")) &&
+          !startswith(p, lit("gclid=")))
+      t(s, dir, "documents").select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"), col("url"),
+          concat(scheme, lit("://"), host, path,
+            when(size(kept) > 0, concat(lit("?"), array_join(array_sort(kept), "&")))
+              .otherwise(lit(""))).as("canon_url"),
+          host.as("canon_host"),
+          (size(parts) - size(kept)).as("n_tracking_params"))
+        .orderBy("doc_id")
+    }),
     // multimodal: real image/audio decode (stub video) + feature schema
     // + frame sample
     "m1_media_features" -> ((s, _) => {
@@ -267,8 +357,10 @@ object OpsQueries {
   /** Full MinHash+LSH recomputation: word FNV → rolling 3-gram shingle
     * hashes (mix chains) → 64 seeded permutations → per-position mins
     * (SIGNED compare, matching Java Long) → 16-band slice join →
-    * est_jaccard = equal positions / 64. Matches d3 bit-for-bit. */
-  private lazy val d3OracleSql: String =
+    * est_jaccard = equal positions / 64. Matches d3 bit-for-bit.
+    * The ORDER-BY-less body (`d3PairsBody`) doubles as the pair
+    * source nested inside d6's connected-components closure. */
+  private lazy val d3PairsBody: String =
     s"""WITH $wordHashCtes,
        |${mixCtes("words", "h", "m1", "mh", "doc_id, widx, h")},
        |${mixCtes("m1_out", "mh", "m2", "mmh", "doc_id, widx")},
@@ -301,8 +393,35 @@ object OpsQueries {
        |SELECT id_a, id_b,
        | CAST(len(list_filter(range(1, 65), i -> sa[i] = sb[i])) AS DOUBLE) / 64.0 AS est_jaccard
        |FROM pairs
-       |WHERE CAST(len(list_filter(range(1, 65), i -> sa[i] = sb[i])) AS DOUBLE) / 64.0 >= 0.5
-       |ORDER BY id_a, id_b""".stripMargin
+       |WHERE CAST(len(list_filter(range(1, 65), i -> sa[i] = sb[i])) AS DOUBLE) / 64.0 >= 0.5""".stripMargin
+
+  private lazy val d3OracleSql: String = d3PairsBody + "\nORDER BY id_a, id_b"
+
+  /** Duplicate clusters = transitive closure of the d3 pair list: the
+    * recursive CTE computes full reachability over the symmetrized
+    * edges, each node's canon is the least id it can reach, and
+    * cluster_size counts the component's members — mirroring
+    * Dedup.connectedComponents' min-label fixpoint semantics from
+    * first principles (closure, not label propagation). */
+  private lazy val d6OracleSql: String =
+    s"""WITH RECURSIVE dup_pairs AS (
+       |$d3PairsBody
+       |),
+       |edges AS (
+       | SELECT id_a AS src, id_b AS dst FROM dup_pairs
+       | UNION
+       | SELECT id_b AS src, id_a AS dst FROM dup_pairs),
+       |reach(src, dst) AS (
+       | SELECT src, dst FROM edges
+       | UNION
+       | SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |comp AS (
+       | SELECT src AS doc_id, LEAST(src, MIN(dst)) AS canon_id
+       | FROM reach GROUP BY src),
+       |sizes AS (SELECT canon_id, COUNT(*) AS cluster_size FROM comp GROUP BY canon_id)
+       |SELECT c.doc_id, c.canon_id, s.cluster_size
+       |FROM comp c JOIN sizes s USING (canon_id)
+       |ORDER BY doc_id""".stripMargin
 
   /** Full SimHash recomputation: per-word FNV → ±1 votes per bit →
     * 64-bit fingerprint → 4×16-bit chunk-band join (pigeonhole) →
@@ -483,6 +602,7 @@ object OpsQueries {
   def oracles: Map[String, String] = Map(
     "s3_ann_ivf" -> s3OracleSql,
     "d3_minhash_lsh" -> d3OracleSql,
+    "d6_dup_clusters" -> d6OracleSql,
     "d4_simhash" -> d4OracleSql,
     "s2_ann_lsh" -> s2OracleSql,
     "t4_fingerprint" -> t4OracleSql,
@@ -575,6 +695,65 @@ object OpsQueries {
         |SELECT doc_id, n_trigrams, n_distinct, distinct_ratio,
         | distinct_ratio < 0.5 AS repetitive
         |FROM m ORDER BY doc_id""".stripMargin,
+    "t6_redact" ->
+      """WITH inp AS (
+        | SELECT doc_id, text ||
+        |  CASE doc_id % 4
+        |   WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |   WHEN 1 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+        |   WHEN 2 THEN ' call +4915' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |   ELSE '' END AS x
+        | FROM documents)
+        |SELECT doc_id,
+        | len(regexp_extract_all(x, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        | len(regexp_extract_all(x, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips,
+        | len(regexp_extract_all(x, '\+[0-9]{7,15}')) AS n_phones,
+        | regexp_replace(
+        |   regexp_replace(
+        |     regexp_replace(x, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |     '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |   '\+[0-9]{7,15}', '<PHONE>', 'g') AS redacted
+        |FROM inp ORDER BY doc_id""".stripMargin,
+    "u1_url_canon" ->
+      """WITH u AS (
+        | SELECT doc_id,
+        |  (CASE WHEN doc_id % 3 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END) ||
+        |  'Site' || CAST(doc_id % 97 AS VARCHAR) || '.Example.COM' ||
+        |  (CASE doc_id % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443' WHEN 2 THEN ':8080' ELSE '' END) ||
+        |  '/a/' || CAST(doc_id AS VARCHAR) ||
+        |  (CASE doc_id % 5
+        |    WHEN 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 50 AS VARCHAR) || '&utm_campaign=x'
+        |    WHEN 1 THEN '?b=2&a=1&fbclid=f' || CAST(doc_id AS VARCHAR)
+        |    WHEN 2 THEN '?z=9' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 7 = 0 THEN '#frag' || CAST(doc_id % 5 AS VARCHAR) ELSE '' END) AS url
+        | FROM documents),
+        |p AS (
+        | SELECT doc_id, url,
+        |  lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+        |  lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) AS hostport,
+        |  regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+        |  regexp_extract(url, '\?([^#]*)', 1) AS q
+        | FROM u),
+        |h AS (
+        | SELECT *, CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |                WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |                ELSE hostport END AS canon_host
+        | FROM p),
+        |k AS (
+        | SELECT *, list_filter(string_split(q, '&'), x -> x <> '') AS parts
+        | FROM h),
+        |f AS (
+        | SELECT *, list_filter(parts, x -> NOT starts_with(x, 'utm_')
+        |   AND NOT starts_with(x, 'fbclid=') AND NOT starts_with(x, 'gclid=')) AS kept
+        | FROM k)
+        |SELECT doc_id, url,
+        | scheme || '://' || canon_host || path ||
+        |  CASE WHEN len(kept) > 0 THEN '?' || array_to_string(list_sort(kept), '&')
+        |       ELSE '' END AS canon_url,
+        | canon_host,
+        | len(parts) - len(kept) AS n_tracking_params
+        |FROM f ORDER BY doc_id""".stripMargin,
     "t1b_langid_docs" ->
       """WITH inp AS (
         | SELECT d.doc_id,

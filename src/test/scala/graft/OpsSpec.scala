@@ -275,6 +275,100 @@ class OpsSpec extends AnyFunSuite {
     assert(out.feature.toSeq == Seq(3f, 1f, 0f, 0f, 0f, 0f, 1f, 1f))
   }
 
+  test("connected components: hand-built graph + brute-force cross-check") {
+    import spark.implicits._
+    // chain 1-2-3-4-5-6 (min label needs 5 propagation hops), a
+    // triangle {10,11,12} with a pendant 13, an isolated pair {20,21},
+    // and a duplicate/reversed edge — canon is the component min
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (5L, 4L), (5L, 6L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (12L, 13L), (20L, 21L), (21L, 20L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 6L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L))
+    // empty pair list → empty result, no iteration
+    assert(Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b")).isEmpty)
+    // brute-force cross-check on a deterministic pseudo-random graph
+    val rnd = Seq.tabulate(40) { i =>
+      val a = (i * 13 + 5) % 23; val b = (i * 29 + 11) % 23
+      (a.toLong, b.toLong)
+    }.filter { case (a, b) => a != b }
+    val got = Dedup.connectedComponents(rnd.toDF("id_a", "id_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: union-find
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    rnd.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(x => x -> find(x)).toMap
+    // union-find roots are already component minima (we always hang
+    // the larger root under the smaller)
+    assert(got == want, s"got=$got want=$want")
+    // a non-converging bound fails loudly rather than silently
+    val chain = Seq.tabulate(9)(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxRounds = 2)
+    }
+    assert(Dedup.connectedComponents(chain).collect()
+      .forall(_.getLong(1) == 0L))
+  }
+
+  test("pii redaction: planted emails/ips/phones are counted and scrubbed") {
+    val out = OpsQueries.all("t6_redact")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val red = r.getAs[String]("redacted")
+      id % 4 match {
+        case 0 =>
+          assert(r.getAs[Int]("n_emails") >= 1 && red.contains("<EMAIL>"), s"id=$id")
+          assert(!red.contains(s"user$id@example.com"), s"id=$id")
+        case 1 =>
+          assert(r.getAs[Int]("n_ips") >= 1 && red.contains("<IP>"), s"id=$id")
+        case 2 =>
+          assert(r.getAs[Int]("n_phones") >= 1 && red.contains("<PHONE>"), s"id=$id")
+        case _ => ()
+      }
+      // nothing PII-shaped survives redaction
+      assert(!red.matches("(?s).*[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}.*"), s"id=$id")
+      assert(!red.matches("(?s).*\\+[0-9]{7,15}.*"), s"id=$id")
+    }
+  }
+
+  test("url canonicalization: case, default ports, fragments, tracking params") {
+    val out = OpsQueries.all("u1_url_canon")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val canon = r.getAs[String]("canon_url")
+      val host = r.getAs[String]("canon_host")
+      // scheme+host lowercased, path case preserved
+      assert(canon.startsWith(if (id % 3 == 0) "http://" else "https://"), canon)
+      assert(host == host.toLowerCase && canon.contains(s"/a/$id"), canon)
+      // default port dropped exactly when it matches the scheme
+      // (:80 under http, :443 under https), :8080 always kept
+      if (id % 4 == 0 && id % 3 == 0) assert(!host.endsWith(":80"), canon)
+      if (id % 4 == 1 && id % 3 != 0) assert(!host.endsWith(":443"), canon)
+      if (id % 4 == 0 && id % 3 != 0) assert(host.endsWith(":80"), canon) // https://…:80 is NOT default
+      if (id % 4 == 2) assert(host.endsWith(":8080"), canon)
+      // fragment stripped, tracking params stripped, survivors sorted
+      assert(!canon.contains("#") && !canon.contains("utm_") && !canon.contains("fbclid"), canon)
+      if (id % 5 == 0) {
+        assert(r.getAs[Int]("n_tracking_params") == 2, canon)
+        assert(canon.endsWith(s"?id=${id % 50}"), canon)
+      }
+      if (id % 5 == 1) assert(canon.endsWith("?a=1&b=2"), canon) // sorted, fbclid gone
+      if (id % 5 > 2) assert(!canon.contains("?"), canon)
+    }
+  }
+
   test("multimodal: decodes a hand-built WAV fixture") {
     import spark.implicits._
     // canonical 44-byte RIFF/WAVE header + 4 frames of 16-bit PCM mono
