@@ -149,45 +149,55 @@ object Dedup {
     * "keep one doc per cluster" requires the transitive closure
     * (a~b, b~c ⇒ keep one of {a,b,c}).
     *
-    * Shape: iterative min-label propagation. Each round is two
-    * equi-join shuffles keyed by node id plus a `min` aggregate —
+    * Shape: iterative min-label propagation with self-edges. The
+    * symmetrized edge list gets one (v,v) loop per node, so each
+    * round is a SINGLE equi-join shuffle keyed by node id plus a
+    * `min` aggregate (the loop row carries the node's own label — no
+    * second join back to the previous labels). The aggregate is
     * combiner-friendly, so the dominant real-world topology (star
-    * clusters: one canonical page duplicated many times) aggregates
+    * clusters: one canonical page duplicated many times) reduces
     * map-side and converges in ~2 rounds; rounds are bounded by the
-    * largest component's diameter. Labels only decrease, so the
-    * fixpoint is exact and iteration-order-independent (deterministic
-    * output at any parallelism). Each round's result is
-    * `localCheckpoint`ed to truncate the growing lineage (the standard
-    * iterative-Spark discipline; a multi-executor deployment would use
-    * a reliable `checkpoint` dir instead). For adversarial long-chain
-    * graphs — not a shape near-dup corpora produce — swap in
-    * star-contraction (O(log n) rounds) behind the same signature.
+    * largest component's diameter. Labels only decrease, so the label
+    * SUM is strictly decreasing until the fixpoint — convergence
+    * detection is one cheap aggregate per round (exact: sum unchanged
+    * ⇔ no label changed; decimal accumulator so 10^12 ids cannot
+    * overflow), and the fixpoint is iteration-order-independent
+    * (deterministic output at any parallelism). Each round's result
+    * is `localCheckpoint`ed to truncate the growing lineage (the
+    * standard iterative-Spark discipline; a multi-executor deployment
+    * would use a reliable `checkpoint` dir instead). For adversarial
+    * long-chain graphs — not a shape near-dup corpora produce — swap
+    * in star-contraction (O(log n) rounds) behind the same signature.
     *
     * Output covers only ids that appear in `pairs` (docs with no
     * duplicates are their own cluster by definition). */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
                           bCol: String = "id_b", maxRounds: Int = 50): DataFrame = {
-    val edges = pairs
+    val sym = pairs
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+    val edges = sym
+      .union(sym.select(col("src"), col("src").as("dst"))) // self-loops
       .distinct()
       .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint()
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val d = df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
+      if (d == null) java.math.BigDecimal.ZERO else d
+    }
+    var prevSum = labelSum(labels)
     var done = edges.isEmpty
     var round = 0
     while (!done && round < maxRounds) {
       val next = edges
         .join(labels.select(col("id").as("dst"), col("component").as("dst_comp")), "dst")
-        .groupBy(col("src").as("id")).agg(min("dst_comp").as("nbr_comp"))
-        .join(labels, "id")
-        .select(col("id"), least(col("component"), col("nbr_comp")).as("component"))
+        .groupBy(col("src").as("id")).agg(min("dst_comp").as("component"))
         .localCheckpoint()
-      done = next.withColumnRenamed("component", "nc")
-        .join(labels.withColumnRenamed("component", "oc"), "id")
-        .filter(col("nc") =!= col("oc"))
-        .isEmpty
+      val nextSum = labelSum(next)
+      done = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels.unpersist()
       labels = next
       round += 1
