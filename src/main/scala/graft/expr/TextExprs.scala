@@ -199,6 +199,27 @@ case class Winnow(child: Expression, window: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `graft_nfc(text) -> STRING` — Unicode NFC normalization
+  * (canonical composition, `java.text.Normalizer`): the standard
+  * first step for web text, where the same visible string arrives as
+  * precomposed codepoints from one page and base+combining sequences
+  * from another, silently defeating exact dedup and shingle/token
+  * equality. `isNormalized` is the quick-check fast path — ASCII and
+  * already-NFC rows (the overwhelming majority of a crawl) return the
+  * input without allocating. */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "graft_nfc"
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) v
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 /** `graft_langid(text) -> STRING` — script-ratio language heuristic
   * mirroring the reference's lang dimension (`ara+eng`/`ara`/`eng`,
   * main_window.py:460): counts Arabic-block vs Latin letters;

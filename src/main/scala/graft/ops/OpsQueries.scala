@@ -242,6 +242,26 @@ object OpsQueries {
             phone, "<PHONE>").as("redacted"))
         .orderBy("doc_id")
     }),
+    // Unicode NFC normalization (graft_nfc expression): the canonical-
+    // composition pass web text needs before exact dedup or shingling
+    // (precomposed vs base+combining renders identically but hashes
+    // differently). Non-NFC sequences are planted deterministically;
+    // the oracle mirrors with DuckDB's nfc_normalize.
+    "t7_nfc" -> ((s, dir) => {
+      GraftSession.register(s)
+      val norm = call_function("graft_nfc", col("x"))
+      t(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 3 === 0, lit(" nfc:e\u0301"))
+              .when(col("doc_id") % 3 === 1, lit(" nfc:A\u030A"))
+              .otherwise(lit(""))).as("x"))
+        .select(col("doc_id"),
+          norm.as("norm"),
+          (col("x") =!= norm).as("changed"),
+          length(col("x")).as("len_before"),
+          length(norm).as("len_after"))
+        .orderBy("doc_id")
+    }),
     // URL canonicalization (the step before any url-keyed crawl dedup
     // or host bucketing): lowercase scheme+host, drop the scheme's
     // default port, strip fragments and tracking params (utm_*/
@@ -713,6 +733,18 @@ object OpsQueries {
         |     regexp_replace(x, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |     '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
         |   '\+[0-9]{7,15}', '<PHONE>', 'g') AS redacted
+        |FROM inp ORDER BY doc_id""".stripMargin,
+    "t7_nfc" ->
+      """WITH inp AS (
+        | SELECT doc_id, text ||
+        |  CASE doc_id % 3 WHEN 0 THEN ' nfc:e' || chr(769)
+        |                  WHEN 1 THEN ' nfc:A' || chr(778)
+        |                  ELSE '' END AS x
+        | FROM documents)
+        |SELECT doc_id, nfc_normalize(x) AS norm,
+        | x <> nfc_normalize(x) AS changed,
+        | length(x) AS len_before,
+        | length(nfc_normalize(x)) AS len_after
         |FROM inp ORDER BY doc_id""".stripMargin,
     "u1_url_canon" ->
       """WITH u AS (

@@ -342,6 +342,27 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("nfc normalization: combining sequences compose, ascii fast path") {
+    val out = OpsQueries.all("t7_nfc")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val norm = r.getAs[String]("norm")
+      if (id % 3 == 0) {
+        // e + U+0301 composed to precomposed é: one char shorter
+        assert(r.getAs[Boolean]("changed"), s"id=$id")
+        assert(norm.endsWith(" nfc:\u00e9"), s"id=$id")
+        assert(r.getAs[Int]("len_after") == r.getAs[Int]("len_before") - 1, s"id=$id")
+      } else if (id % 3 == 1) {
+        assert(r.getAs[Boolean]("changed") && norm.endsWith(" nfc:\u00c5"), s"id=$id")
+      } else {
+        // already-NFC text passes through unchanged
+        assert(!r.getAs[Boolean]("changed"), s"id=$id")
+        assert(r.getAs[Int]("len_after") == r.getAs[Int]("len_before"), s"id=$id")
+      }
+    }
+  }
+
   test("url canonicalization: case, default ports, fragments, tracking params") {
     val out = OpsQueries.all("u1_url_canon")(spark, sf).collect()
     assert(out.nonEmpty)
