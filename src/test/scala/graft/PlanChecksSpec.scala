@@ -45,10 +45,20 @@ class PlanChecksSpec extends AnyFunSuite {
 
   test("no accidental cartesian products in candidate-join ops") {
     Seq("d2_ngram_jaccard", "d3_minhash_lsh", "d4_simhash", "t4_fingerprint",
-      "d5_embed_neardup").foreach { q =>
+      "d5_embed_neardup", "d6_dup_clusters").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
+    }
+  }
+
+  test("scrub ops (t6/t7/u1) are row-local: no join/window, only the sort exchange") {
+    Seq("t6_redact", "t7_nfc", "u1_url_canon").foreach { q =>
+      val p = plan(q)
+      val exchanges = "Exchange".r.findAllIn(p).size
+      assert(exchanges <= 1, s"$q must shuffle at most once (final sort):\n${p.take(900)}")
+      assert(!p.contains("Join") && !p.contains("Window"),
+        s"$q must be a row-local projection over the scan")
     }
   }
 
