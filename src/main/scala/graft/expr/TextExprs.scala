@@ -204,15 +204,19 @@ case class Winnow(child: Expression, window: Int)
   * first step for web text, where the same visible string arrives as
   * precomposed codepoints from one page and base+combining sequences
   * from another, silently defeating exact dedup and shingle/token
-  * equality. `isNormalized` is the quick-check fast path — ASCII and
-  * already-NFC rows (the overwhelming majority of a crawl) return the
-  * input without allocating. */
+  * equality. Pure-ASCII rows (the overwhelming majority of a crawl;
+  * detected byte-level: numBytes == numChars ⇔ no multi-byte
+  * sequences) are NFC by definition and return the input without any
+  * String materialization; non-ASCII rows go through the
+  * `isNormalized` quick check before the (rare) composing pass. */
 case class NfcNormalize(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def prettyName: String = "graft_nfc"
   override def dataType: DataType = StringType
   override def nullSafeEval(v: Any): Any = {
-    val s = v.asInstanceOf[UTF8String].toString
+    val u = v.asInstanceOf[UTF8String]
+    if (u.numBytes == u.numChars) return v // pure ASCII ⇒ already NFC
+    val s = u.toString
     if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) v
     else UTF8String.fromString(
       java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))

@@ -202,10 +202,13 @@ object Dedup {
       labels = next
       round += 1
     }
-    if (!done)
+    edges.unpersist() // only needed during iteration — drop its blocks
+    if (!done) {
+      labels.unpersist()
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxRounds rounds " +
           "(component diameter exceeds the bound — raise maxRounds)")
+    }
     labels
   }
 

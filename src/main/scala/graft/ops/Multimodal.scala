@@ -210,7 +210,7 @@ object Multimodal {
     val w = bb.getInt; val h = bb.getInt; val frames = bb.getInt
     if (w <= 0 || h <= 0 || frames <= 0) return Left("bad header")
     // --- real video decoder seam: replace from here ------------------
-    // val frames = ??? // e.g. ffmpeg bindings — not in container/JDK
+    // val decoded = ??? // e.g. ffmpeg bindings — not in container/JDK
     // deterministic fake: 8-dim byte-histogram feature from the body
     val feat = new Array[Float](8)
     var i = 17

@@ -44,8 +44,11 @@ class PlanChecksSpec extends AnyFunSuite {
   }
 
   test("no accidental cartesian products in candidate-join ops") {
+    // (d6 is deliberately absent: its localCheckpoints truncate lineage,
+    // so its executedPlan no longer contains the candidate join — d3
+    // pins the shared minhashPairs plan)
     Seq("d2_ngram_jaccard", "d3_minhash_lsh", "d4_simhash", "t4_fingerprint",
-      "d5_embed_neardup", "d6_dup_clusters").foreach { q =>
+      "d5_embed_neardup").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
