@@ -78,6 +78,27 @@ object OpsQueries {
           col("cluster_size"))
         .orderBy("doc_id")
     }),
+    // benchmark decontamination: flag corpus docs sharing >= K distinct
+    // word-3-grams with a held-out eval set (the standard pre-training
+    // hygiene step). Scale shape: the eval side is bounded (benchmark
+    // suites, not the crawl) so its distinct shingle set broadcasts;
+    // the corpus streams through one equi-join + count — no shuffle of
+    // corpus text, no pairwise comparison. Contamination is planted
+    // (eval docs re-appear padded under doc_id+200000).
+    "d7_decontaminate" -> ((s, dir) => {
+      GraftSession.register(s)
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val evalSet = docs.filter(col("doc_id") % 13 === 0)
+      val corpus = docs.filter(col("doc_id") % 13 =!= 0)
+        .unionAll(evalSet.select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" padded contamination tail")).as("text")))
+      val evalSh = evalSet.select(explode(Dedup.shingles(col("text"))).as("shingle")).distinct()
+      val inv = corpus.select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("shingle"))
+      inv.join(broadcast(evalSh), Seq("shingle"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+        .withColumn("contaminated", col("n_overlap") >= 8)
+        .orderBy("doc_id")
+    }),
     // SimHash hamming-band dedup
     "d4_simhash" -> ((s, dir) => {
       GraftSession.register(s)
@@ -698,6 +719,28 @@ object OpsQueries {
         |FROM shared JOIN rn na ON na.doc_id = id_a JOIN rn nb ON nb.doc_id = id_b
         |WHERE shared::DOUBLE / (na.n + nb.n - shared)::DOUBLE >= 0.6
         |ORDER BY id_a, id_b""".stripMargin,
+    "d7_decontaminate" ->
+      """WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 = 0),
+        |corpus AS (
+        | SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0
+        | UNION ALL
+        | SELECT doc_id + 200000 AS doc_id,
+        |        text || ' padded contamination tail' AS text
+        | FROM ev),
+        |evw AS (SELECT string_split(trim(text), ' ') AS w FROM ev),
+        |evsh AS (
+        | SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(w)-1),
+        |   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+        | FROM evw WHERE len(w) >= 3),
+        |cw AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM corpus),
+        |csh AS (
+        | SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-1),
+        |   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+        | FROM cw WHERE len(w) >= 3)
+        |SELECT c.doc_id, COUNT(*) AS n_overlap, COUNT(*) >= 8 AS contaminated
+        |FROM csh c JOIN evsh e ON c.shingle = e.shingle
+        |GROUP BY c.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "t5_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
         |tri AS (

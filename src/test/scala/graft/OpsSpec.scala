@@ -342,6 +342,27 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("decontamination: planted eval-overlap docs flagged, clean corpus not") {
+    val out = OpsQueries.all("d7_decontaminate")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val byId = out.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_overlap"), r.getAs[Boolean]("contaminated"))).toMap
+    // every planted row (an eval doc re-appearing padded) must be caught
+    val planted = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 13 === 0).select("doc_id").collect()
+      .map(_.getLong(0) + 200000)
+    assert(planted.nonEmpty)
+    planted.foreach { id =>
+      assert(byId.contains(id) && byId(id)._2, s"planted contaminated doc $id not flagged")
+      assert(byId(id)._1 >= 8, s"doc $id overlap ${byId(id)}")
+    }
+    // flagged rows are overwhelmingly the planted ones (natural trigram
+    // collisions between unrelated docs stay below the threshold)
+    val flagged = byId.count(_._2._2)
+    assert(flagged >= planted.length && flagged <= planted.length * 2,
+      s"flagged=$flagged planted=${planted.length}")
+  }
+
   test("nfc normalization: combining sequences compose, ascii fast path") {
     val out = OpsQueries.all("t7_nfc")(spark, sf).collect()
     assert(out.nonEmpty)
