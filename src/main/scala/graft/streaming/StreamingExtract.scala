@@ -96,6 +96,46 @@ object StreamingExtract {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
 
+  // --- stateful streaming exact-dedup (flatMapGroupsWithState) ----------
+
+  final case class HashedDoc(doc_id: Long, text_sha: String)
+  final case class SeenState(first_id: Long, n: Long)
+  final case class DedupEvent(text_sha: String, doc_id: Long, keep: Boolean, dup_of: Long)
+
+  /** Streaming exact dedup across micro-batches — the streaming twin of
+    * `Dedup.exactGroups`: documents grouped by content hash, the FIRST
+    * arrival of each hash is kept, later arrivals emit audit rows
+    * pointing at the keeper. State per distinct hash is one
+    * (first_id, count) pair — the same cardinality the batch groupBy's
+    * shuffle holds, so the state store scales exactly like the batch
+    * op. Within a micro-batch arrivals are ordered by doc_id so the
+    * keeper choice is deterministic; across batches it is arrival
+    * order (streaming first-wins semantics: an already-published
+    * keeper is never retracted). */
+  def dedupStream(docs: Dataset[HashedDoc]): Dataset[DedupEvent] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.text_sha)
+      .flatMapGroupsWithState[SeenState, DedupEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (sha: String, it: Iterator[HashedDoc], state: GroupState[SeenState]) =>
+          val sorted = it.toSeq.sortBy(_.doc_id)
+          val out = scala.collection.mutable.ArrayBuffer.empty[DedupEvent]
+          var st = state.getOption
+          sorted.foreach { d =>
+            st match {
+              case None =>
+                out += DedupEvent(sha, d.doc_id, keep = true, dup_of = d.doc_id)
+                st = Some(SeenState(d.doc_id, 1L))
+              case Some(s) =>
+                out += DedupEvent(sha, d.doc_id, keep = false, dup_of = s.first_id)
+                st = Some(SeenState(s.first_id, s.n + 1))
+            }
+          }
+          st.foreach(state.update)
+          out.iterator
+      }
+  }
+
   // --- stateful sessionization (flatMapGroupsWithState) -----------------
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String)

@@ -136,6 +136,49 @@ class StreamingSpec extends AnyFunSuite {
       s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
   }
 
+  test("streaming exact dedup == batch exactGroups (first-wins keeper)") {
+    import spark.implicits._
+    val src = tmp("dedup")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // batch 1: the original corpus (unique texts)
+    docs.select(col("doc_id"),
+        sha2(col("text"), 256).as("text_sha")).as[StreamingExtract.HashedDoc]
+      .toDF().write.mode("append").parquet(src)
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, text_sha STRING")
+      .parquet(src).as[StreamingExtract.HashedDoc]
+    val q = StreamingExtract.dedupStream(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedupstream")
+      .start()
+    q.processAllAvailable()
+    // batch 2: every 7th doc re-arrives with a new id but identical text
+    docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        sha2(col("text"), 256).as("text_sha")).as[StreamingExtract.HashedDoc]
+      .toDF().write.mode("append").parquet(src)
+    q.processAllAvailable(); q.stop()
+
+    val rows = spark.sql("SELECT text_sha, doc_id, keep, dup_of FROM dedupstream").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2), r.getLong(3)))
+    val n = docs.count()
+    assert(rows.length == n + docs.filter(col("doc_id") % 7 === 0).count())
+    // exactly one keeper per distinct hash, and it is the first arrival
+    val bySha = rows.groupBy(_._1)
+    assert(bySha.forall { case (_, rs) => rs.count(_._3) == 1 })
+    // every late duplicate points at the original (min-id == first
+    // arrival here, matching the batch keep_id)
+    val batchKeep = graft.ops.Dedup.exactGroups(
+        docs.select("doc_id", "text").unionAll(
+          docs.filter(col("doc_id") % 7 === 0)
+            .select((col("doc_id") + 100000).as("doc_id"), col("text"))),
+        "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("keep_id")).toSet
+    val streamDupOf = rows.filter(!_._3).map(_._4).toSet
+    assert(streamDupOf == batchKeep,
+      s"stream keepers $streamDupOf != batch keep_ids $batchKeep")
+  }
+
   test("stateful sessionization via flatMapGroupsWithState") {
     import spark.implicits._
     val src = tmp("sess")
