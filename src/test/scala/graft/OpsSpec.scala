@@ -411,6 +411,35 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("media decode: arbitrary payloads are error-as-row, never a crash") {
+    import spark.implicits._
+    // at 100 TB the decoders run on untrusted bytes: random tails
+    // behind each real codec magic (PNG/JPEG/RIFF) and the fake
+    // container must all surface as error rows or clean decodes,
+    // never task failures
+    val rows = (0 until 400).map { i =>
+      val rnd = new java.util.Random(9000L + i)
+      val body = new Array[Byte](rnd.nextInt(300)); rnd.nextBytes(body)
+      val payload = (i % 5) match {
+        case 0 => body
+        case 1 => Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++ body
+        case 2 => Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte) ++ body
+        case 3 => "RIFF".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3, 4) ++
+          "WAVE".getBytes("US-ASCII") ++ body
+        case _ => "GMM0".getBytes("US-ASCII") ++ body
+      }
+      Multimodal.MediaRow(i.toLong, "image", payload)
+    }
+    val out = Multimodal.features(rows.toDS()).collect() // must not throw
+    assert(out.length == 400)
+    out.foreach { r =>
+      assert((r.decode_error != null) != (r.width > 0),
+        s"id=${r.media_id}: exactly one of error/decoded: $r")
+    }
+    // the adversarial sweep must exercise the error path
+    assert(out.count(_.decode_error != null) > 300)
+  }
+
   test("multimodal: decodes a hand-built WAV fixture") {
     import spark.implicits._
     // canonical 44-byte RIFF/WAVE header + 4 frames of 16-bit PCM mono
