@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
 
-import graft.expr.{ExtractMainText, LangId, LshBucket, MinHashSig, NfcNormalize, SimHash64, Winnow}
+import graft.expr.{ExtractMainText, LangId, LshBucket, MinHashSig, NfcNormalize, SimHash64, SplitMix64, Winnow}
 
 /** Session bootstrap: function registration + scale-oriented defaults.
   *
@@ -49,6 +49,7 @@ object GraftSession {
     "graft_fingerprint" -> (exprs => Winnow(exprs.head, 16)),
     "graft_langid" -> (exprs => LangId(exprs.head)),
     "graft_nfc" -> (exprs => NfcNormalize(exprs.head)),
+    "graft_mix64" -> (exprs => SplitMix64(exprs.head)),
     "graft_lsh_bucket" -> (exprs => LshBucket(exprs.head, exprs(1))),
     "graft_explode_blocks" -> (exprs => graft.expr.ExplodeBlocks(exprs.head)),
     "graft_shingles" -> (exprs => graft.expr.Shingles(exprs.head)),

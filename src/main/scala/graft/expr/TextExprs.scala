@@ -199,6 +199,21 @@ case class Winnow(child: Expression, window: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `graft_mix64(id) -> BIGINT` — the splitmix64 finalizer over a long
+  * key. The building block for deterministic, reshuffle-stable
+  * assignment problems: train/val/test splits, sampling, A/B salt —
+  * anywhere "a stable pseudo-random value per id" beats rand() (which
+  * changes across retries/recomputation and breaks exactly-once
+  * semantics under task reruns). Wraparound arithmetic is exact in
+  * Java longs regardless of ANSI mode (no Column-level overflow). */
+case class SplitMix64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "graft_mix64"
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = Hash64.mix(v.asInstanceOf[Long])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 /** `graft_nfc(text) -> STRING` — Unicode NFC normalization
   * (canonical composition, `java.text.Normalizer`): the standard
   * first step for web text, where the same visible string arrives as

@@ -283,6 +283,19 @@ object OpsQueries {
           length(norm).as("len_after"))
         .orderBy("doc_id")
     }),
+    // deterministic train/val/test split: splitmix64(doc_id) → pmod
+    // bucket → 90/5/5 assignment. Stable under retries and
+    // recomputation (unlike rand()), reproducible on any cluster
+    // size — the property a training-data split must have. Oracle
+    // recomputes the full 64-bit mix in SQL (same machinery as d3).
+    "t8_split" -> ((s, dir) => {
+      GraftSession.register(s)
+      val bucket = pmod(call_function("graft_mix64", col("doc_id")), lit(100L))
+      t(s, dir, "documents").select(col("doc_id"), bucket.as("bucket"),
+          when(bucket < 90, "train").when(bucket < 95, "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    }),
     // URL canonicalization (the step before any url-keyed crawl dedup
     // or host bucketing): lowercase scheme+host, drop the scheme's
     // default port, strip fragments and tracking params (utm_*/
@@ -777,6 +790,19 @@ object OpsQueries {
         |     '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
         |   '\+[0-9]{7,15}', '<PHONE>', 'g') AS redacted
         |FROM inp ORDER BY doc_id""".stripMargin,
+    "t8_split" ->
+      s"""WITH m0 AS (SELECT doc_id, CAST(doc_id AS UBIGINT) AS x FROM documents),
+         |${mixCtes("m0", "x", "sp", "mx", "doc_id")},
+         |sv AS (SELECT doc_id,
+         |  CASE WHEN mx >= 9223372036854775808::UBIGINT
+         |       THEN CAST(CAST(mx AS HUGEINT) - $M64 AS BIGINT)
+         |       ELSE CAST(mx AS BIGINT) END AS m
+         | FROM sp_out),
+         |b AS (SELECT doc_id, ((m % 100) + 100) % 100 AS bucket FROM sv)
+         |SELECT doc_id, bucket,
+         | CASE WHEN bucket < 90 THEN 'train'
+         |      WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
     "t7_nfc" ->
       """WITH inp AS (
         | SELECT doc_id, text ||

@@ -363,6 +363,21 @@ class OpsSpec extends AnyFunSuite {
       s"flagged=$flagged planted=${planted.length}")
   }
 
+  test("deterministic split: stable across runs, ratios near 90/5/5") {
+    val run1 = OpsQueries.all("t8_split")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("bucket"), r.getAs[String]("split")))
+    val run2 = OpsQueries.all("t8_split")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("bucket"), r.getAs[String]("split")))
+    assert(run1.nonEmpty && run1.sameElements(run2), "split must be deterministic")
+    run1.foreach { case (id, (b, s)) =>
+      assert(b == java.lang.Math.floorMod(graft.expr.Hash64.mix(id), 100L), s"id=$id")
+      assert(s == (if (b < 90) "train" else if (b < 95) "val" else "test"))
+    }
+    val n = run1.length.toDouble
+    val train = run1.count(_._2._2 == "train") / n
+    assert(train > 0.84 && train < 0.96, s"train fraction $train")
+  }
+
   test("nfc normalization: combining sequences compose, ascii fast path") {
     val out = OpsQueries.all("t7_nfc")(spark, sf).collect()
     assert(out.nonEmpty)
