@@ -55,8 +55,14 @@ class PlanChecksSpec extends AnyFunSuite {
     }
   }
 
-  test("scrub ops (t6/t7/u1) are row-local: no join/window, only the sort exchange") {
-    Seq("t6_redact", "t7_nfc", "u1_url_canon").foreach { q =>
+  test("d7 broadcasts the bounded eval-set side, never sort-merges the corpus") {
+    val p = plan("d7_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), "the corpus must stream against a broadcast")
+  }
+
+  test("scrub ops (t6/t7/u1/t8) are row-local: no join/window, only the sort exchange") {
+    Seq("t6_redact", "t7_nfc", "u1_url_canon", "t8_split").foreach { q =>
       val p = plan(q)
       val exchanges = "Exchange".r.findAllIn(p).size
       assert(exchanges <= 1, s"$q must shuffle at most once (final sort):\n${p.take(900)}")
