@@ -159,8 +159,15 @@ object Bench {
     val scaleJson = headline.map { r =>
       val all = scaleRuns.map(x => f"${x.efficiency}%.3f").mkString("[", ",", "]")
       val steals = scaleRuns.map(x => f"${x.stealPct}%.3f").mkString("[", ",", "]")
-      val strongHeadline = median(validRuns.map(_.strongEfficiency)).get
-      f""","scale_n_docs_per_sec":${r.nDocsPerSec}%.1f,"scale_4n_docs_per_sec":${r.n4DocsPerSec}%.1f,"scaling_efficiency":${headlineEff.get}%.3f,"scaling_efficiency_strong":$strongHeadline%.3f,"scaling_efficiency_runs":$all,"scale_steal_pcts":$steals,"scaling_valid_runs":${validRuns.size},"scale_checksum_match":${scaleRuns.forall(_.checksumMatch)}"""
+      // ADVISORY headline (ScalePair.Result scaladoc): strong > 1.05
+      // means the full leg was GC- or steal-penalized (it pushes 4×
+      // the data through the same heap), not superlinear scaling —
+      // median only the physically meaningful subset, null if none
+      val strongVals = validRuns.map(_.strongEfficiency)
+        .filter(x => x > 0.0 && x <= 1.05)
+      val strongHeadline = median(strongVals)
+        .map(x => f"$x%.3f").getOrElse("null")
+      f""","scale_n_docs_per_sec":${r.nDocsPerSec}%.1f,"scale_4n_docs_per_sec":${r.n4DocsPerSec}%.1f,"scaling_efficiency":${headlineEff.get}%.3f,"scaling_efficiency_strong":$strongHeadline,"scaling_strong_advisory":true,"scaling_strong_runs":${strongVals.size},"scaling_efficiency_runs":$all,"scale_steal_pcts":$steals,"scaling_valid_runs":${validRuns.size},"scale_checksum_match":${scaleRuns.forall(_.checksumMatch)}"""
     }.getOrElse(
       if (scaleRuns.isEmpty) ""
       else {

@@ -48,8 +48,13 @@ object GraftSession {
     "graft_minhash" -> (exprs => MinHashSig(exprs.head, 64)),
     "graft_fingerprint" -> (exprs => Winnow(exprs.head, 16)),
     "graft_langid" -> (exprs => LangId(exprs.head)),
-    "graft_nfc" -> (exprs => NfcNormalize(exprs.head)),
-    "graft_mix64" -> (exprs => SplitMix64(exprs.head)),
+    // analysis-time Cast (same treatment as graft_topk): a wrong-typed
+    // argument fails analysis or coerces cleanly instead of surfacing
+    // as a ClassCastException inside a task
+    "graft_nfc" -> (exprs =>
+      NfcNormalize(Cast(exprs.head, org.apache.spark.sql.types.StringType))),
+    "graft_mix64" -> (exprs =>
+      SplitMix64(Cast(exprs.head, org.apache.spark.sql.types.LongType))),
     "graft_lsh_bucket" -> (exprs => LshBucket(exprs.head, exprs(1))),
     "graft_explode_blocks" -> (exprs => graft.expr.ExplodeBlocks(exprs.head)),
     "graft_shingles" -> (exprs => graft.expr.Shingles(exprs.head)),

@@ -71,7 +71,14 @@ object ScalePair {
     *   ALL docs vs 4 over quarters — additionally penalized by
     *   fixed-per-job overhead amortization (the single leg amortizes
     *   planning/scheduling 4× better), so it UNDERSTATES executor
-    *   scaling; reported for completeness.
+    *   scaling; reported for completeness. ADVISORY ONLY: `valid`
+    *   deliberately does not gate on it — the full leg pushes 4× the
+    *   data through the same fixed heap, so GC superlinearity alone
+    *   produces strong > 1 on a clean host (observed in 9/36 clean
+    *   history pairs, up to 1.68), and a steal burst hitting only the
+    *   full leg skews it the same direction. Bench therefore computes
+    *   the strong headline over the (0, 1.05] subset and labels it
+    *   advisory in the JSON rather than discarding weakly-valid runs.
     * @param checksumMatch the 4 legs' xxhash64 partial sums add up to
     *   the full-input leg's sum exactly (byte-identity across
     *   parallelism levels).

@@ -190,7 +190,11 @@ object Dedup {
     var prevSum = labelSum(labels)
     var done = edges.isEmpty
     var round = 0
-    while (!done && round < maxRounds) {
+    // maxRounds bounds PROPAGATION rounds (≥ the largest component's
+    // diameter); detecting the fixpoint costs one extra round that
+    // observes an unchanged label sum, hence `<= maxRounds`: a graph
+    // whose diameter equals maxRounds exactly must be accepted
+    while (!done && round <= maxRounds) {
       val next = edges
         .join(labels.select(col("id").as("dst"), col("component").as("dst_comp")), "dst")
         .groupBy(col("src").as("id")).agg(min("dst_comp").as("component"))

@@ -261,12 +261,16 @@ final class IceTable(val root: String, spark: SparkSession) {
   /** Publish `tmp` as `dst` atomically, failing (false) if `dst`
     * already exists. On `file://` this must be a hard link: POSIX
     * rename(2) silently OVERWRITES an existing destination, so the
-    * local-FS rename cannot detect a concurrent commit (HDFS rename
-    * already has fail-if-exists semantics). Object stores without
-    * atomic create-if-absent need a catalog for this CAS — exactly why
-    * Iceberg puts the pointer swap in a catalog, not the FS. */
+    * local-FS rename cannot detect a concurrent commit. The rename
+    * path is restricted to schemes whose rename is known to FAIL on an
+    * existing destination (HDFS and its drop-ins): on s3a/abfs/gcs a
+    * rename would silently clobber a racing committer's snapshot and
+    * defeat the CAS entirely, so any other scheme fails loudly — those
+    * stores need a catalog for the pointer swap, which is exactly why
+    * Iceberg puts it in a catalog, not the FS. */
   private[tables] def publishNew(tmp: Path, dst: Path): Boolean = {
-    if ("file".equals(fs.getUri.getScheme)) {
+    val scheme = fs.getUri.getScheme
+    if ("file".equals(scheme)) {
       val t = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri)
       val d = java.nio.file.Paths.get(fs.makeQualified(dst).toUri)
       try {
@@ -278,8 +282,20 @@ final class IceTable(val root: String, spark: SparkSession) {
           fs.delete(tmp, false)
           false
       }
-    } else fs.rename(tmp, dst)
+    } else if (RenameCasSchemes.contains(scheme)) {
+      fs.rename(tmp, dst)
+    } else {
+      throw new UnsupportedOperationException(
+        s"IceTable snapshot CAS is not safe on scheme '$scheme': rename " +
+          "does not fail on an existing destination there, so a racing " +
+          "commit would be silently overwritten. Use file://, an " +
+          "HDFS-compatible store, or front the table with a catalog.")
+    }
   }
+
+  /** Schemes whose FileSystem.rename has fail-if-exists semantics
+    * (the HDFS contract), making a bare rename a usable CAS. */
+  private val RenameCasSchemes = Set("hdfs", "viewfs", "webhdfs", "swebhdfs")
 
   /** Compact the current snapshot: rewrite every live file into one
     * fresh overwrite-commit (Iceberg rewrite_data_files analogue) —

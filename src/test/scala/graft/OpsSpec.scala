@@ -209,6 +209,17 @@ class OpsSpec extends AnyFunSuite {
         lit("x".getBytes("UTF-8")), lit("en"), lit("tesseract"))).collect()
     }
     assert(e2.getMessage.contains("unknown graft engine"), e2.getMessage)
+    // graft_mix64 / graft_nfc coerce at analysis like graft_topk
+    // (ADVICE r3): an INT column casts cleanly to the declared input
+    // type instead of ClassCastException-ing inside a task
+    val mixed = spark.range(0, 3)
+      .select(call_function("graft_mix64", col("id").cast("int")).as("m"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(mixed == (0L until 3L).map(graft.expr.Hash64.mix))
+    val nfc = spark.range(0, 2)
+      .select(call_function("graft_nfc", col("id").cast("int")).as("n"))
+      .collect().map(_.getString(0)).toSeq
+    assert(nfc == Seq("0", "1"))
   }
 
   test("multimodal: real image+audio decode, stub video plumbing, frame sampling") {
@@ -317,6 +328,11 @@ class OpsSpec extends AnyFunSuite {
       Dedup.connectedComponents(chain, maxRounds = 2)
     }
     assert(Dedup.connectedComponents(chain).collect()
+      .forall(_.getLong(1) == 0L))
+    // off-by-one (ADVICE r3): a component whose diameter EQUALS
+    // maxRounds converges — fixpoint detection gets its own extra round
+    val path2 = Seq((0L, 1L), (1L, 2L)).toDF("id_a", "id_b") // diameter 2
+    assert(Dedup.connectedComponents(path2, maxRounds = 2).collect()
       .forall(_.getLong(1) == 0L))
   }
 
