@@ -877,18 +877,27 @@ object OpsQueries {
         |      WHEN ar > lat THEN 'ar'
         |      ELSE 'en' END AS lang_pred
         |FROM cnt ORDER BY doc_id""".stripMargin,
+    // video rows are MJPEG AVIs with thumbnail-scale frames: same
+    // dimension multipliers as image/audio but over mod 24 (see
+    // Multimodal.gen) — hence the kind-dependent width/height CASE;
+    // n_frames is what the engine COUNTS from the '00dc' chunk walk,
+    // which for an intact container equals the generator's formula
     "m1_media_features" ->
       """SELECT media_id,
         | CASE media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        | CASE WHEN media_id % 50 = 7 THEN -1 ELSE 16 + (media_id * 37) % 512 END AS width,
-        | CASE WHEN media_id % 50 = 7 THEN -1 ELSE 16 + (media_id * 73) % 512 END AS height,
+        | CASE WHEN media_id % 50 = 7 THEN -1
+        |      WHEN media_id % 3 = 2 THEN 8 + (media_id * 37) % 24
+        |      ELSE 16 + (media_id * 37) % 512 END AS width,
+        | CASE WHEN media_id % 50 = 7 THEN -1
+        |      WHEN media_id % 3 = 2 THEN 8 + (media_id * 73) % 24
+        |      ELSE 16 + (media_id * 73) % 512 END AS height,
         | CASE WHEN media_id % 50 = 7 THEN -1
         |      WHEN media_id % 3 = 2 THEN 1 + (media_id * 91) % 240 ELSE 1 END AS n_frames,
         | CASE WHEN media_id % 50 = 7 THEN 0 ELSE 8 END AS feat_dim,
         | CASE WHEN media_id % 50 = 7
         |      THEN CASE WHEN media_id % 3 = 0 THEN 'bad image'
         |                WHEN media_id % 3 = 1 THEN 'bad audio'
-        |                ELSE 'bad magic' END
+        |                ELSE 'bad video' END
         |      ELSE NULL END AS decode_error
         |FROM range(0, 300) t(media_id) ORDER BY media_id""".stripMargin,
     "m2_frame_sample" ->

@@ -222,7 +222,7 @@ class OpsSpec extends AnyFunSuite {
     assert(nfc == Seq("0", "1"))
   }
 
-  test("multimodal: real image+audio decode, stub video plumbing, frame sampling") {
+  test("multimodal: real image+audio+video decode, frame sampling") {
     val feats = Multimodal.features(Multimodal.gen(spark, 300))
     val rows = feats.collect()
     assert(rows.length == 300)
@@ -232,12 +232,13 @@ class OpsSpec extends AnyFunSuite {
     assert(bad50.nonEmpty && bad50.forall(r => r.decode_error == (r.kind match {
       case "image" => "bad image"
       case "audio" => "bad audio"
-      case _       => "bad magic"
+      case _       => "bad video"
     })))
     assert(bad50.exists(_.kind == "image"), "planted errors must hit the image path too")
     assert(bad50.exists(_.kind == "audio"), "planted errors must hit the audio path too")
+    assert(bad50.exists(_.kind == "video"), "planted errors must hit the video path too")
     assert(good.forall(_.decode_error == null))
-    assert(good.forall(r => r.width >= 16 && r.height >= 16 && r.feature.length == 8))
+    assert(good.forall(r => r.width >= 8 && r.height >= 8 && r.feature.length == 8))
     // image metadata comes from REAL imageio decode of real PNG pixels;
     // the feature is the full pixel histogram (sums to w*h)
     val images = good.filter(_.kind == "image")
@@ -259,9 +260,22 @@ class OpsSpec extends AnyFunSuite {
       assert(r.height == (16 + (r.media_id * 73) % 512).toInt, s"id=${r.media_id}")
       assert(r.n_frames == 1 && r.feature.sum == r.width.toFloat, s"id=${r.media_id}")
     }
+    // video metadata comes from REAL MJPEG decode: width/height are
+    // the decoded first frame's dimensions, n_frames is the counted
+    // '00dc' chunks, and the histogram counts every decoded pixel of
+    // EVERY frame — feature.sum == n_frames·w·h proves all frames ran
+    // through imageio, not just the header parse
+    val videos = good.filter(_.kind == "video")
+    assert(videos.nonEmpty)
+    videos.foreach { r =>
+      assert(r.width == (8 + (r.media_id * 37) % 24).toInt, s"id=${r.media_id}")
+      assert(r.height == (8 + (r.media_id * 73) % 24).toInt, s"id=${r.media_id}")
+      assert(r.n_frames == (1 + (r.media_id * 91) % 240).toInt, s"id=${r.media_id}")
+      assert(r.feature.sum == r.n_frames.toFloat * r.width * r.height,
+        s"id=${r.media_id}: every frame's pixels must be decoded")
+    }
     val frames = Multimodal.frameSample(feats.toDF(), 24).collect()
     assert(frames.nonEmpty)
-    val videos = good.filter(_.kind == "video")
     val expected = videos.map(v => (v.n_frames + 23) / 24).sum
     assert(frames.length == expected, s"frame count ${frames.length} vs $expected")
     // corrupted payload → error row, not task failure
@@ -445,9 +459,8 @@ class OpsSpec extends AnyFunSuite {
   test("media decode: arbitrary payloads are error-as-row, never a crash") {
     import spark.implicits._
     // at 100 TB the decoders run on untrusted bytes: random tails
-    // behind each real codec magic (PNG/JPEG/RIFF) and the fake
-    // container must all surface as error rows or clean decodes,
-    // never task failures
+    // behind each real codec magic (PNG/JPEG/RIFF-WAVE/RIFF-AVI) must
+    // all surface as error rows or clean decodes, never task failures
     val rows = (0 until 400).map { i =>
       val rnd = new java.util.Random(9000L + i)
       val body = new Array[Byte](rnd.nextInt(300)); rnd.nextBytes(body)
@@ -457,7 +470,8 @@ class OpsSpec extends AnyFunSuite {
         case 2 => Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte) ++ body
         case 3 => "RIFF".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3, 4) ++
           "WAVE".getBytes("US-ASCII") ++ body
-        case _ => "GMM0".getBytes("US-ASCII") ++ body
+        case _ => "RIFF".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3, 4) ++
+          "AVI ".getBytes("US-ASCII") ++ body
       }
       Multimodal.MediaRow(i.toLong, "image", payload)
     }
@@ -492,5 +506,54 @@ class OpsSpec extends AnyFunSuite {
     val trunc = Multimodal.features(Seq(Multimodal.MediaRow(3L, "audio",
       java.util.Arrays.copyOfRange(bb.array(), 0, 20))).toDS()).collect().head
     assert(trunc.decode_error == "bad audio")
+  }
+
+  test("multimodal: MJPEG-in-AVI — every frame really decoded via imageio") {
+    import spark.implicits._
+    // 3-frame 11×9 container; the expected histogram is the sum of
+    // INDEPENDENTLY imageio-decoded histograms of the same per-frame
+    // JPEGs (frame j is seeded id + j·7 — makeAvi's layout contract)
+    val (w, h, n, id) = (11, 9, 3, 42L)
+    val avi = Multimodal.makeAvi(w, h, n, id)
+    assert(new String(avi, 0, 4, "US-ASCII") == "RIFF")
+    assert(new String(avi, 8, 4, "US-ASCII") == "AVI ")
+    val expected = new Array[Float](8)
+    (0 until n).foreach { j =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+        Multimodal.makeImage(w, h, id + j * 7L, "jpg")))
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+        expected(((img.getRGB(x, y) >> 16) & 0xff) >> 5) += 1f
+    }
+    val out = Multimodal.features(
+      Seq(Multimodal.MediaRow(7L, "video", avi)).toDS()).collect().head
+    assert(out.decode_error == null)
+    assert(out.width == w && out.height == h && out.n_frames == n)
+    assert(out.feature.toSeq == expected.toSeq,
+      "feature must equal the independently decoded per-frame histogram sum")
+    // frames genuinely differ (per-frame seeds): a 1-frame container's
+    // histogram ×3 must NOT reproduce the 3-frame histogram
+    val one = Multimodal.features(Seq(Multimodal.MediaRow(8L, "video",
+      Multimodal.makeAvi(w, h, 1, id))).toDS()).collect().head
+    assert(one.feature.map(_ * 3).toSeq != out.feature.toSeq)
+    // corrupting the first frame's JPEG body → bad video, error-as-row
+    val corrupt = avi.clone()
+    val dc = {
+      var i = 12; var found = -1
+      while (found < 0 && i < corrupt.length - 4) {
+        if (corrupt(i) == '0' && corrupt(i + 1) == '0' &&
+            corrupt(i + 2) == 'd' && corrupt(i + 3) == 'c') found = i
+        i += 1
+      }
+      found
+    }
+    assert(dc > 0, "movi frame chunk present")
+    java.util.Arrays.fill(corrupt, dc + 8, dc + 16, 0.toByte)
+    val badFrame = Multimodal.features(
+      Seq(Multimodal.MediaRow(9L, "video", corrupt)).toDS()).collect().head
+    assert(badFrame.decode_error == "bad video")
+    // truncation mid-header (RIFF/AVI magic intact) → bad video
+    val trunc2 = Multimodal.features(Seq(Multimodal.MediaRow(10L, "video",
+      java.util.Arrays.copyOfRange(avi, 0, 20))).toDS()).collect().head
+    assert(trunc2.decode_error == "bad video")
   }
 }
