@@ -72,14 +72,25 @@ object Bench {
     val results = scala.collection.mutable.LinkedHashMap[String, Double](
       "x_extract" -> tExtract,
       "x_commit" -> tCommit)
+    // per-QUERY steal windows (VERDICT r3 "what's missing" #2): the
+    // phase-level average dilutes a burst that inflates one query
+    // (observed: s3 at 14.0 s vs 2.7 s clean under a 0.175% phase
+    // average), so every recorded per-query second carries its own
+    // steal marker and is self-diagnosing
+    val querySteal = scala.collection.mutable.LinkedHashMap[String, Double](
+      "x_extract" -> stealExtract, "x_commit" -> stealCommit)
     val (_, stealQueries) = ScalePair.withSteal {
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-        results(name) = timed {
-          try fn(spark, sfDir).count()
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L
+        val (sec, st) = ScalePair.withSteal {
+          timed {
+            try fn(spark, sfDir).count()
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L
+            }
           }
         }
+        results(name) = sec
+        querySteal(name) = st
       }
     }
 
@@ -152,6 +163,8 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
+    val qSteals = querySteal.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
     val total = results.values.sum
     val docsPerSec = nDocs / tExtract
     val docsPerSecBest = nDocs / tExtractMin
@@ -175,7 +188,17 @@ object Bench {
         val steals = scaleRuns.map(x => f"${x.stealPct}%.3f").mkString("[", ",", "]")
         s""","scaling_efficiency":null,"scaling_efficiency_runs":$all,"scale_steal_pcts":$steals,"scaling_valid_runs":0,"scale_checksum_match":${scaleRuns.forall(_.checksumMatch)}"""
       })
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"bench_docs":$nDocs,"extract_docs_per_sec":$docsPerSec%.1f,"extract_docs_per_sec_best":$docsPerSecBest%.1f,"commit_docs_per_sec":$commitDocsPerSec%.1f,"steal_pct_extract":$stealExtract%.3f,"steal_pct_commit":$stealCommit%.3f,"steal_pct_queries":$stealQueries%.3f$scaleJson}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_steal_pcts":$qSteals,"sf":"$sfDir","cpus":$cpus,"bench_docs":$nDocs,"extract_docs_per_sec":$docsPerSec%.1f,"extract_docs_per_sec_best":$docsPerSecBest%.1f,"commit_docs_per_sec":$commitDocsPerSec%.1f,"steal_pct_extract":$stealExtract%.3f,"steal_pct_commit":$stealCommit%.3f,"steal_pct_queries":$stealQueries%.3f$scaleJson}"""
+    println(line)
+    // the bare JSON line as a file, so the driver's record never
+    // depends on scraping it out of the sbt log tail (VERDICT r3 #8)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
+    try {
+      val w = new java.io.PrintWriter(outPath, "UTF-8")
+      try w.println(line) finally w.close()
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] bench_last write failed: ${e.getMessage}")
+    }
   }
 }
