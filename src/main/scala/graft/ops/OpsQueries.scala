@@ -78,13 +78,10 @@ object OpsQueries {
           col("cluster_size"))
         .orderBy("doc_id")
     }),
-    // benchmark decontamination: flag corpus docs sharing >= K distinct
-    // word-3-grams with a held-out eval set (the standard pre-training
-    // hygiene step). Scale shape: the eval side is bounded (benchmark
-    // suites, not the crawl) so its distinct shingle set broadcasts;
-    // the corpus streams through one equi-join + count — no shuffle of
-    // corpus text, no pairwise comparison. Contamination is planted
-    // (eval docs re-appear padded under doc_id+200000).
+    // benchmark decontamination (Dedup.decontaminate: guarded
+    // broadcast of the bounded eval-shingle side, corpus streams
+    // through one equi-join). Contamination is planted (eval docs
+    // re-appear padded under doc_id+200000).
     "d7_decontaminate" -> ((s, dir) => {
       GraftSession.register(s)
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -92,11 +89,7 @@ object OpsQueries {
       val corpus = docs.filter(col("doc_id") % 13 =!= 0)
         .unionAll(evalSet.select((col("doc_id") + 200000).as("doc_id"),
           concat(col("text"), lit(" padded contamination tail")).as("text")))
-      val evalSh = evalSet.select(explode(Dedup.shingles(col("text"))).as("shingle")).distinct()
-      val inv = corpus.select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("shingle"))
-      inv.join(broadcast(evalSh), Seq("shingle"))
-        .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
-        .withColumn("contaminated", col("n_overlap") >= 8)
+      Dedup.decontaminate(corpus, evalSet, "doc_id", "text", minOverlap = 8)
         .orderBy("doc_id")
     }),
     // SimHash hamming-band dedup

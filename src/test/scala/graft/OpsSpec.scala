@@ -348,6 +348,14 @@ class OpsSpec extends AnyFunSuite {
     val path2 = Seq((0L, 1L), (1L, 2L)).toDF("id_a", "id_b") // diameter 2
     assert(Dedup.connectedComponents(path2, maxRounds = 2).collect()
       .forall(_.getLong(1) == 0L))
+    // reliable-checkpoint mode (the multi-executor deployment choice:
+    // localCheckpoint blocks die with a lost executor) produces
+    // identical clusters
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    val gotCkpt = Dedup.connectedComponents(rnd.toDF("id_a", "id_b"),
+        checkpointDir = Some(ckpt)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotCkpt == want, "checkpointDir run must match localCheckpoint run")
   }
 
   test("pii redaction: planted emails/ips/phones are counted and scrubbed") {
@@ -391,6 +399,29 @@ class OpsSpec extends AnyFunSuite {
     val flagged = byId.count(_._2._2)
     assert(flagged >= planted.length && flagged <= planted.length * 2,
       s"flagged=$flagged planted=${planted.length}")
+  }
+
+  test("decontamination guard: oversized eval set falls back off the broadcast") {
+    import graft.ops.Dedup
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val evalSet = docs.filter(col("doc_id") % 13 === 0)
+    val corpus = docs.filter(col("doc_id") % 13 =!= 0)
+    def planOf(maxSh: Long): (String, Array[(Long, Long)]) = {
+      val df = Dedup.decontaminate(corpus, evalSet, "doc_id", "text",
+        minOverlap = 8, maxEvalShingles = maxSh)
+      (df.queryExecution.executedPlan.toString,
+        df.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_overlap"))
+          .sortBy(_._1))
+    }
+    // below the bound: eval side broadcasts (the 100 TB shape)
+    val (pBcast, rBcast) = planOf(Long.MaxValue)
+    assert(pBcast.contains("BroadcastHashJoin"), pBcast.take(600))
+    // an eval set larger than the bound must NOT be broadcast — the
+    // guard trips to a shuffle equi-join with identical results
+    val (pShuffle, rShuffle) = planOf(1L)
+    assert(!pShuffle.contains("BroadcastHashJoin"), pShuffle.take(600))
+    assert(rBcast.sameElements(rShuffle), "guard must not change results")
   }
 
   test("deterministic split: stable across runs, ratios near 90/5/5") {
