@@ -194,9 +194,14 @@ object Queries {
     // the exact error message from the same input columns.
     "x10_pdf_roundtrip" -> ((s, dir) => {
       GraftSession.register(s)
+      // the PDF body is pre-normalized IN-QUERY (whitespace runs → one
+      // space, trimmed) with the oracle applying the same regex, so
+      // the roundtrip prediction no longer leans on the probed "testdata
+      // text is already normalized" property — extraction's own per-line
+      // normalization is identity on the pre-normalized body either way
       val pdf = call_function("graft_make_pdf",
         concat(lit("Doc "), col("doc_id"), lit(" (x) \\ ok")),
-        col("text"),
+        trim(regexp_replace(col("text"), "[\\s\\u00A0]+", " ")),
         concat(lit("Page two of "), col("doc_id")))
       val payload = when(col("doc_id") % 10 === 0,
           lit("%PDF-1.4\nan empty pdf body here\n%%EOF\n".getBytes("UTF-8")))
@@ -655,12 +660,17 @@ object Queries {
     // PDF roundtrip: page 1 = "Doc N (x) \ ok" + the document text
     // (one content block per page: lines join with \n inside the
     // block), page 2 = "Page two of N" + the fixed hex-decoded line;
-    // parts join with the صفحة header format. documents.text is
-    // already whitespace-normalized (probed: no runs/tabs/NBSP), so
-    // normalize(text) = text. Streamless every-10th rows surface the
-    // reference-format parse error.
+    // parts join with the صفحة header format. The body is normalized
+    // IN-QUERY on both sides (the same ws-run collapse + trim the
+    // Spark query applies before graft_make_pdf), so the roundtrip
+    // holds even if testdata whitespace changes. Streamless every-10th
+    // rows surface the reference-format parse error.
     "x10_pdf_roundtrip" ->
-      """SELECT d.doc_id,
+      """WITH d AS (
+        | SELECT doc_id,
+        |        trim(regexp_replace(text, '[\s\x{A0}]+', ' ', 'g')) AS text
+        | FROM documents)
+        |SELECT d.doc_id,
         | CASE WHEN d.doc_id % 10 = 0 THEN NULL
         |   ELSE '--- صفحة 1 ---' || chr(10) || 'Doc ' || d.doc_id || ' (x) \ ok'
         |     || chr(10) || d.text || chr(10) || chr(10)
@@ -670,7 +680,7 @@ object Queries {
         | CASE WHEN d.doc_id % 10 = 0 THEN 0 ELSE 2 END AS n_spans,
         | CASE WHEN d.doc_id % 10 = 0 THEN 'حدث خطأ: pdf: no content streams'
         |      ELSE NULL END AS error
-        |FROM documents d ORDER BY d.doc_id""".stripMargin,
+        |FROM d ORDER BY d.doc_id""".stripMargin,
     // block view: 4 blocks per doc in segmentation order — nav (2 link
     // words, boiler→dropped), heading (kept iff body kept), body
     // (kept iff ≥15 words), footer (2 of 3 words in links, dropped)

@@ -112,6 +112,11 @@ object AsOfJoin {
     * same-instant dims must be pre-deduped (as in latestBefore);
     * pick `bucketWidth` so a key's span is thousands of buckets, not
     * millions (the dense carry materializes one row per key×bucket).
+    * That choice is ENFORCED, not prose: the bounds pass computes the
+    * worst key's bucket count and fails fast above `maxBucketsPerKey`
+    * (default 100k) with the fix named, instead of silently exploding
+    * the dense carry to millions of rows per key. The guard costs one
+    * small aggregate job over the already-aggregated bounds frame.
     */
   /** tsToLong for timestamp columns: epoch seconds (pair with a
     * bucketWidth in seconds). The default `cast("long")` covers
@@ -122,8 +127,10 @@ object AsOfJoin {
   def latestBeforeBucketed(fact: DataFrame, dim: DataFrame, key: String,
                            factTs: String, dimTs: String, dimCols: Seq[String],
                            bucketWidth: Long,
-                           tsToLong: Column => Column = _.cast("long")): DataFrame = {
+                           tsToLong: Column => Column = _.cast("long"),
+                           maxBucketsPerKey: Long = 100000L): DataFrame = {
     require(bucketWidth > 0)
+    require(maxBucketsPerKey > 0)
     val payStruct = struct(col(dimTs).as("__dts") +: dimCols.map(col): _*)
     val dimB = dim
       .withColumn("__b", floor(tsToLong(col(dimTs)) / bucketWidth).cast("long"))
@@ -141,6 +148,15 @@ object AsOfJoin {
     val bounds = perBucket.select(col(key), col("__b"))
       .unionByName(factB.select(col(key), col("__b")))
       .groupBy(col(key)).agg(min(col("__b")).as("__b0"), max(col("__b")).as("__b1"))
+    // width guard: fail fast on a mischosen bucketWidth before the
+    // dense explode materializes span/bucketWidth rows for every key
+    val worstRow = bounds.agg(max(col("__b1") - col("__b0") + 1)).head()
+    val worst = if (worstRow.isNullAt(0)) 0L else worstRow.getLong(0)
+    require(worst <= maxBucketsPerKey,
+      s"latestBeforeBucketed: bucketWidth=$bucketWidth densifies up to " +
+        s"$worst buckets for a single key's time span (cap " +
+        s"$maxBucketsPerKey) — widen bucketWidth to ~span/1000 or raise " +
+        "maxBucketsPerKey explicitly")
     val dense = bounds.select(col(key),
       explode(sequence(col("__b0"), col("__b1"))).as("__b"))
     val carryW = Window.partitionBy(col(key)).orderBy(col("__b"))

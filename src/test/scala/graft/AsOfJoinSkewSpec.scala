@@ -56,6 +56,28 @@ class AsOfJoinSkewSpec extends AnyFunSuite {
     }
   }
 
+  test("width guard: a mischosen bucketWidth fails fast, not a silent explode") {
+    import spark.implicits._
+    // span 0..99_990 with width 7 ⇒ ~14 286 buckets for the key — over
+    // an explicit 1 000 cap the dense carry would be the bottleneck,
+    // so the guard must throw with the fix named BEFORE densifying
+    val facts = Seq.tabulate(100)(i => (i.toLong, 1L, i * 1010L))
+      .toDF("event_id", "user_id", "ts")
+    val dims = Seq((1L, 0L, 42L)).toDF("user_id", "dim_ts", "value")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.AsOfJoin.latestBeforeBucketed(
+        facts, dims, "user_id", "ts", "dim_ts", Seq("value"),
+        bucketWidth = 7L, maxBucketsPerKey = 1000L).collect()
+    }
+    assert(e.getMessage.contains("widen bucketWidth"), e.getMessage)
+    // a width respecting the same cap runs and stays correct
+    val ok = graft.ops.AsOfJoin.latestBeforeBucketed(
+        facts, dims, "user_id", "ts", "dim_ts", Seq("value"),
+        bucketWidth = 1000L, maxBucketsPerKey = 1000L)
+      .select("event_id", "dim_value").collect()
+    assert(ok.length == 100 && ok.forall(_.getLong(1) == 42L))
+  }
+
   test("ROW semantics: a null payload in the latest dim row stays null") {
     // the ASOF standard (and the DuckDB oracle) attach the latest ROW;
     // a per-column last-non-null fill would wrongly back-fill value=5

@@ -45,6 +45,30 @@ class IceTableSpec extends AnyFunSuite {
     assert(events.forall(_.matches("^\\d{4}-\\d{2}-\\d{2}T.*")), "ISO-timestamped lines")
   }
 
+  test("bucket predicate prunes data files at the scan (the 100×-scale read path)") {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val root = tmpRoot("prune")
+    ExtractJob.run(spark, root, N, buckets = 16, groups = 4, commitId = "c0")
+    val table = new IceTable(root, spark)
+    val allFiles = table.read().select(input_file_name()).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(allFiles.size >= 8, s"need a multi-bucket layout, got ${allFiles.size} files")
+    val pruned = table.read().filter(col("bucket") === 3)
+    // the predicate must reach the scan as a PARTITION filter (metadata
+    // pruning), not a post-scan row filter over every file
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+      plan.take(1200))
+    // and the files ACTUALLY read are exactly the bucket=3 leafs
+    val readFiles = pruned.select(input_file_name()).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(readFiles.nonEmpty && readFiles.forall(_.contains("/bucket=3/")),
+      readFiles.take(5).toString)
+    assert(readFiles == allFiles.filter(_.contains("/bucket=3/")))
+    assert(readFiles.size < allFiles.size, "pruning must drop non-matching buckets")
+  }
+
   test("crash after k groups → rerun completes only remaining groups; table identical") {
     val rootA = tmpRoot("resume")
     val rootB = tmpRoot("clean")
