@@ -58,6 +58,23 @@ object GraftSession {
     "graft_lsh_bucket" -> (exprs => LshBucket(exprs.head, exprs(1))),
     "graft_explode_blocks" -> (exprs => graft.expr.ExplodeBlocks(exprs.head)),
     "graft_shingles" -> (exprs => graft.expr.Shingles(exprs.head)),
+    // positional k-token window hashes (exact-substring dedup): k is a
+    // plan-time literal, coerced like graft_topk's k
+    "graft_token_windows" -> { exprs =>
+      val k = foldableArg("graft_token_windows", 1, exprs(1)) match {
+        case n: java.lang.Byte => n.intValue()
+        case n: java.lang.Short => n.intValue()
+        case n: java.lang.Integer => n.intValue()
+        case n: java.lang.Long if n.longValue == n.intValue.toLong => n.intValue()
+        case other => throw new IllegalArgumentException(
+          s"graft_token_windows: k must be an Int-range integer literal, got $other")
+      }
+      if (k < 1)
+        throw new IllegalArgumentException(
+          s"graft_token_windows: k must be >= 1, got $k")
+      graft.expr.TokenWindowHashes(
+        Cast(exprs.head, org.apache.spark.sql.types.StringType), k)
+    },
     "graft_make_pdf" -> (exprs => graft.expr.MakePdf(exprs.head, exprs(1), exprs(2))),
     // bounded top-k aggregate (scale-safe ANN ranking): 3rd arg is the
     // plan-time literal k; the analyzer wraps the returned

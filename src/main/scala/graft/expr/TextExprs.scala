@@ -29,6 +29,15 @@ object Hash64 {
   }
   def fnv1a(s: String): Long = fnv1a(s, 0, s.length)
 
+  /** One FNV-1a step over a UTF-16 code unit (the two-byte schedule
+    * fnv1a uses) — lets callers hash a virtual string (tokens plus
+    * separators) without materializing it. */
+  @inline def fnv1aStep(h0: Long, c: Char): Long = {
+    var h = (h0 ^ (c & 0xff)) * FnvPrime
+    h = (h ^ ((c >> 8) & 0xff)) * FnvPrime
+    h
+  }
+
   def mix(z0: Long): Long = { // splitmix64 finalizer
     var z = z0 + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
@@ -158,6 +167,56 @@ case class Shingles(child: Expression)
     new GenericArrayData(arr)
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** `graft_token_windows(text, k) -> ARRAY<BIGINT>` — POSITIONAL
+  * k-token window hashes, stride 1: element j is the FNV-1a hash of
+  * tokens j..j+k-1 joined with single spaces (hashed as a virtual
+  * string — no materialization). Unlike [[Shingles]] (a distinct SET
+  * of 3-grams for similarity), this keeps every window in order: the
+  * primitive for EXACT-SUBSTRING dedup à la Lee et al. 2021
+  * ("Deduplicating Training Data Makes Language Models Better"),
+  * where any k-token run already seen elsewhere in the corpus marks a
+  * duplicated span. Tokenization matches Shingles (Java whitespace +
+  * NBSP). Fewer than k tokens → empty array. */
+case class TokenWindowHashes(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1, s"k must be >= 1, got $k")
+  override def prettyName: String = "graft_token_windows"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    val n = s.length
+    val starts = new scala.collection.mutable.ArrayBuffer[Int](64)
+    val ends = new scala.collection.mutable.ArrayBuffer[Int](64)
+    var i = 0
+    while (i < n) {
+      while (i < n && graft.html.BlockSegmenter.isWs(s.charAt(i))) i += 1
+      if (i < n) {
+        starts += i
+        while (i < n && !graft.html.BlockSegmenter.isWs(s.charAt(i))) i += 1
+        ends += i
+      }
+    }
+    val w = starts.length
+    if (w < k) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](w - k + 1)
+    var j = 0
+    while (j + k <= w) {
+      var h = Hash64.FnvOffset
+      var t = j
+      while (t < j + k) {
+        if (t > j) h = Hash64.fnv1aStep(h, ' ')
+        var c = starts(t)
+        while (c < ends(t)) { h = Hash64.fnv1aStep(h, s.charAt(c)); c += 1 }
+        t += 1
+      }
+      out(j) = h
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** `graft_fingerprint(text, window) -> ARRAY<BIGINT>` — winnowing

@@ -73,6 +73,41 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Exact-substring duplication stats (Lee et al. 2021: any k-token
+    * run already seen elsewhere in the corpus is a duplicated span —
+    * the dedup that catches boilerplate tails and quoted blocks that
+    * whole-doc hashing misses). Every positional k-token window is
+    * hashed (graft_token_windows, one pass per doc), the FIRST
+    * occurrence of each distinct window across the corpus — min
+    * (doc_id, pos) — stays canonical, and every other occurrence
+    * counts as duplicated. Output per doc: `n_windows`,
+    * `n_dup_windows`, `dup_ratio` (share of the doc's windows that
+    * duplicate earlier text; cut or down-weight above a threshold).
+    *
+    * Scale shape: no doc×doc comparison anywhere — one shuffle keyed
+    * by window hash for the min-occurrence aggregate (combiner-
+    * friendly), a same-key equi-join back (Exchange reuse, no second
+    * shuffle of the windows), then one groupBy doc_id. A window
+    * appearing in millions of docs costs rows linear in its
+    * occurrences, never quadratic (unlike pairwise candidate joins —
+    * this op needs no stop-gram cap). */
+  def substringDupStats(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 8): DataFrame = {
+    val wins = docs.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(call_function("graft_token_windows", col(textCol), lit(k))))
+      .toDF("doc_id", "pos", "whash")
+    val firsts = wins.groupBy("whash")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    wins.join(firsts, "whash")
+      .withColumn("is_dup",
+        col("doc_id") =!= col("first.doc_id") || col("pos") =!= col("first.pos"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_windows"))
+      .withColumn("dup_ratio",
+        col("n_dup_windows").cast("double") / col("n_windows").cast("double"))
+  }
+
   /** Benchmark decontamination: flag corpus docs sharing ≥ `minOverlap`
     * distinct word-3-grams with a held-out eval set (the standard
     * pre-training hygiene step). Scale shape: the eval side is bounded

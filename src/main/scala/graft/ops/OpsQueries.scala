@@ -92,6 +92,21 @@ object OpsQueries {
       Dedup.decontaminate(corpus, evalSet, "doc_id", "text", minOverlap = 8)
         .orderBy("doc_id")
     }),
+    // exact-substring dedup (Lee et al. 2021): per-doc duplicated
+    // k-token-window stats. Contamination is planted: every 11th doc
+    // re-appears under doc_id+300000 behind a 6-token fresh prefix, so
+    // the copy is NOT an exact doc duplicate but nearly all its
+    // windows duplicate the original's.
+    "d8_substring_dup" -> ((s, dir) => {
+      GraftSession.register(s)
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.unionAll(docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          concat(lit("fresh prefix words precede the spliced tail "), col("text"))
+            .as("text")))
+      Dedup.substringDupStats(corpus, "doc_id", "text", k = 8)
+        .orderBy("doc_id")
+    }),
     // SimHash hamming-band dedup
     "d4_simhash" -> ((s, dir) => {
       GraftSession.register(s)
@@ -387,6 +402,35 @@ object OpsQueries {
        |        (c >> 8) & 255) AS HUGEINT) * 1099511628211) % $M64
        |     AS UBIGINT))""".stripMargin
 
+  /** d8 from first principles: the same planted-splice corpus, every
+    * positional 8-token window hashed with the SAME FNV-1a the engine
+    * uses (fnvWordSql over the space-joined window string — bit-exact
+    * vs TokenWindowHashes' virtual-string hashing), first occurrence
+    * per window hash ranked by (doc_id, pos), rest counted as dups. */
+  private lazy val d8OracleSql: String =
+    s"""WITH corpus AS (
+       | SELECT doc_id, text FROM documents
+       | UNION ALL
+       | SELECT doc_id + 300000 AS doc_id,
+       |        'fresh prefix words precede the spliced tail ' || text AS text
+       | FROM documents WHERE doc_id % 11 = 0),
+       |base AS (
+       | SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM corpus),
+       |wins AS (
+       | SELECT doc_id, i - 1 AS pos, $fnvWordSql AS whash
+       | FROM (SELECT doc_id, unnest(range(1, len(t) - 6)) AS i, t
+       |       FROM base WHERE len(t) >= 8),
+       |      LATERAL (SELECT array_to_string(t[i:i+7], ' ') AS w)),
+       |ranked AS (
+       | SELECT doc_id,
+       |        row_number() OVER (PARTITION BY whash ORDER BY doc_id, pos) AS rn
+       | FROM wins)
+       |SELECT doc_id, COUNT(*) AS n_windows,
+       |       SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_dup_windows,
+       |       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+       |         AS dup_ratio
+       |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** The planted-near-dup corpus + per-word FNV hashes, shared by the
     * d3/d4 oracles (exact mirror of docsWithNearDups + tokenization). */
   private val wordHashCtes: String =
@@ -650,6 +694,7 @@ object OpsQueries {
     "s3_ann_ivf" -> s3OracleSql,
     "d3_minhash_lsh" -> d3OracleSql,
     "d6_dup_clusters" -> d6OracleSql,
+    "d8_substring_dup" -> d8OracleSql,
     "d4_simhash" -> d4OracleSql,
     "s2_ann_lsh" -> s2OracleSql,
     "t4_fingerprint" -> t4OracleSql,

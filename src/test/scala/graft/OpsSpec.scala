@@ -401,6 +401,46 @@ class OpsSpec extends AnyFunSuite {
       s"flagged=$flagged planted=${planted.length}")
   }
 
+  test("exact-substring dedup: spliced copies flagged, window hashes == fnv1a") {
+    import spark.implicits._
+    GraftSession.register(spark)
+    // expression vs first-principles: hash of each positional 8-token
+    // window must equal Hash64.fnv1a of the space-joined window string
+    val txt = "  a bb\tccc dd e ff g hh ii jj "
+    val hashes = Seq(txt).toDF("text")
+      .select(call_function("graft_token_windows", col("text"), lit(8)).as("w"))
+      .collect().head.getSeq[Long](0)
+    val toks = txt.trim.split("\\s+").toSeq
+    val want = (0 to toks.length - 8)
+      .map(j => graft.expr.Hash64.fnv1a(toks.slice(j, j + 8).mkString(" ")))
+    assert(hashes == want)
+    // fewer than k tokens → empty, not an error
+    assert(Seq("one two three").toDF("text")
+      .select(call_function("graft_token_windows", col("text"), lit(8)))
+      .collect().head.getSeq[Long](0).isEmpty)
+    // d8: every planted spliced copy (doc_id ≥ 300000) shares nearly
+    // all its post-prefix windows with the original — flagged high;
+    // its original stays the canonical first occurrence
+    val out = OpsQueries.all("d8_substring_dup")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_windows"), r.getAs[Long]("n_dup_windows"),
+          r.getAs[Double]("dup_ratio"))).toMap
+    val copies = out.keys.filter(_ >= 300000L).toSeq
+    assert(copies.nonEmpty)
+    copies.foreach { id =>
+      val (nw, nd, ratio) = out(id)
+      assert(nd >= 1 && ratio >= 0.3, s"copy $id: ($nw, $nd, $ratio)")
+      // the windows fully inside the splice are EXACTLY the original's
+      // window count (prefix = 7 tokens ⇒ 7 boundary windows are new)
+      val (onw, _, _) = out(id - 300000L)
+      assert(nd >= onw, s"copy $id must duplicate all ${onw} original windows")
+    }
+    // originals are mostly clean; the exceptions are the corpus's own
+    // repetitive docs (self-duplicating windows), not the splices
+    val orig = out.filter(_._1 < 300000L).values.map(_._3)
+    assert(orig.sum / orig.size < 0.2, "bulk of the corpus must be unflagged")
+  }
+
   test("decontamination guard: oversized eval set falls back off the broadcast") {
     import graft.ops.Dedup
     val docs = spark.read.parquet(s"$sf/documents.parquet")
