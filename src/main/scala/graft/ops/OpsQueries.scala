@@ -304,6 +304,31 @@ object OpsQueries {
             .otherwise("test").as("split"))
         .orderBy("doc_id")
     }),
+    // per-host document cap (the crawl-balance step: no domain may
+    // dominate the training mix). Deterministic SAMPLING, not
+    // first-N: each doc's priority is splitmix64(doc_id) — stable
+    // across retries/cluster sizes like t8 — and the per-host top-K
+    // survives. Scale shape: graft_topk is a bounded-heap PARTIAL
+    // aggregate (map-side top-K per host, merged), so a hot host
+    // never funnels through one task's full sort the way a
+    // row_number window would; output is only the kept set (hosts×K
+    // rows), no join back against the corpus needed. The top-53-bit
+    // score (>>> 11) is exactly double-representable, ties broken by
+    // doc_id inside the heap — bit-reproducible at any parallelism.
+    "t9_host_cap" -> ((s, dir) => {
+      GraftSession.register(s)
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          shiftrightunsigned(call_function("graft_mix64", col("doc_id")), 11)
+            .cast("double").as("score"))
+      scored.groupBy("source")
+        .agg(call_function("graft_topk", col("score"), col("doc_id"), lit(10))
+          .as("top"))
+        .select(col("source"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("e.id").as("doc_id"), col("source"),
+          (col("pos") + 1).cast("long").as("rank"))
+        .orderBy("doc_id")
+    }),
     // URL canonicalization (the step before any url-keyed crawl dedup
     // or host bucketing): lowercase scheme+host, drop the scheme's
     // default port, strip fragments and tracking params (utm_*/
@@ -828,6 +853,20 @@ object OpsQueries {
         |     '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
         |   '\+[0-9]{7,15}', '<PHONE>', 'g') AS redacted
         |FROM inp ORDER BY doc_id""".stripMargin,
+    // t9: the same splitmix64 recomputation as t8, then the top-53-bit
+    // double score and a per-source row_number mirroring TopKAgg's
+    // exact (score DESC, doc_id ASC) order
+    "t9_host_cap" ->
+      s"""WITH m0 AS (SELECT doc_id, source, CAST(doc_id AS UBIGINT) AS x FROM documents),
+         |${mixCtes("m0", "x", "hc", "mx", "doc_id, source")},
+         |scored AS (SELECT doc_id, source, CAST(mx >> 11 AS DOUBLE) AS score
+         |           FROM hc_out),
+         |ranked AS (SELECT doc_id, source,
+         |  row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id)
+         |    AS rank
+         | FROM scored)
+         |SELECT doc_id, source, rank FROM ranked
+         |WHERE rank <= 10 ORDER BY doc_id""".stripMargin,
     "t8_split" ->
       s"""WITH m0 AS (SELECT doc_id, CAST(doc_id AS UBIGINT) AS x FROM documents),
          |${mixCtes("m0", "x", "sp", "mx", "doc_id")},

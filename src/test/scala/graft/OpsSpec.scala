@@ -464,6 +464,38 @@ class OpsSpec extends AnyFunSuite {
     assert(rBcast.sameElements(rShuffle), "guard must not change results")
   }
 
+  test("per-host cap: deterministic top-K sample per source == window reference") {
+    import org.apache.spark.sql.expressions.Window
+    val out = OpsQueries.all("t9_host_cap")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"), r.getAs[Long]("rank")))
+    assert(out.nonEmpty)
+    // exactly min(K, host size) docs survive per host
+    val bySource = out.groupBy(_._2)
+    bySource.foreach { case (src, rows) =>
+      assert(rows.length <= 10 && rows.map(_._3).sorted.toSeq == (1L to rows.length),
+        s"$src: ${rows.length} kept, ranks ${rows.map(_._3).sorted.mkString(",")}")
+    }
+    // the bounded-heap result must equal the window-ranking reference
+    // (same (score DESC, doc_id) order the oracle recomputes)
+    GraftSession.register(spark)
+    val scored = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        shiftrightunsigned(call_function("graft_mix64", col("doc_id")), 11)
+          .cast("double").as("score"))
+    val ref = scored.withColumn("rank",
+        row_number().over(Window.partitionBy("source")
+          .orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rank") <= 10)
+      .select("doc_id", "source", "rank").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Int]("rank").toLong)).sortBy(_._1)
+    assert(out.sortBy(_._1).toSeq == ref.toSeq)
+    // retry-stable: a second run is identical (rand() would not be)
+    val again = OpsQueries.all("t9_host_cap")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"), r.getAs[Long]("rank")))
+    assert(again.sameElements(out))
+  }
+
   test("deterministic split: stable across runs, ratios near 90/5/5") {
     val run1 = OpsQueries.all("t8_split")(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("bucket"), r.getAs[String]("split")))

@@ -78,7 +78,9 @@ class PlanChecksSpec extends AnyFunSuite {
   }
 
   test("ANN ranking is a partial bounded-heap aggregate, not a global window") {
-    Seq("s1_cosine_topk", "s2_ann_lsh", "s3_ann_ivf").foreach { q =>
+    // t9's per-host cap rides the same discipline: a hot host must do
+    // map-side partial top-Ks, never a per-host row_number sort
+    Seq("s1_cosine_topk", "s2_ann_lsh", "s3_ann_ivf", "t9_host_cap").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Window"),
         s"$q must not rank via a global window (shuffles every scored row):\n${p.take(600)}")
