@@ -213,6 +213,54 @@ object Queries {
           size(col("r.spans")).as("n_spans"), col("r.error").as("error"))
         .orderBy("doc_id")
     }),
+    // WARC ingestion roundtrip: the documents corpus is staged as real
+    // Common-Crawl-layout .warc.gz shards (per-record gzip members,
+    // warcinfo header record, HTTP response envelopes) by an
+    // EXECUTOR-side sink (foreachPartition — no driver collect), read
+    // back through the Warc binaryFile source, and extracted with the
+    // x6 template — so the oracle is x6's, reached through the real
+    // container format. lang rides the HTTP Content-Language header.
+    "x12_warc_roundtrip" -> ((s, dir) => {
+      GraftSession.register(s)
+      val stage = new java.io.File(
+        s"/tmp/graft-warc-${Integer.toHexString(dir.hashCode)}")
+      if (!new java.io.File(stage, "_SUCCESS").exists()) {
+        stage.mkdirs()
+        val html = concat(
+          lit("<html><head><title>t</title></head><body>" +
+            "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a></nav><h1>Title "),
+          col("doc_id"),
+          lit("</h1><p>"), col("text"),
+          lit("</p><footer>Copyright <a href=\"#\">here</a> <a href=\"#\">there</a></footer>" +
+            "</body></html>"))
+        t(s, dir, "documents")
+          .select(col("doc_id"), encode(html, "UTF-8").as("html"), col("lang"))
+          .repartition(8, col("doc_id"))
+          .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val f = new java.io.File(stage, f"part-$pid%05d.warc.gz")
+            val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(f))
+            out.write(graft.warc.Warc.gzipMember(
+              graft.warc.Warc.warcinfo(f.getName, "2024-01-01T00:00:00Z")))
+            it.foreach { r =>
+              val id = r.getLong(0)
+              out.write(graft.warc.Warc.gzipMember(graft.warc.Warc.record(
+                id, s"http://example.com/doc/$id", "2024-01-01T00:00:00Z",
+                r.getString(2), r.getAs[Array[Byte]](1))))
+            }
+            out.close()
+          }
+        new java.io.FileOutputStream(new java.io.File(stage, "_SUCCESS")).close()
+      }
+      graft.warc.Warc.read(s, stage.getPath + "/*.warc.gz")
+        .filter(col("error").isNull)
+        .select(regexp_extract(col("url"), "/doc/([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+          call_function("graft_extract", col("html"), col("lang")).as("r"))
+        .select(col("doc_id"), col("r.text").as("text"),
+          size(col("r.spans")).as("n_spans"), col("r.error").as("error"))
+        .orderBy("doc_id")
+    }),
     // north rule: bucket+salt layout columns
     "x4_extract_bucketed" -> ((s, _) => {
       GraftSession.register(s)
@@ -623,6 +671,16 @@ object Queries {
     // derived independently from the documents table (see the x6 query
     // comment for why this is exactly the engine's contract)
     "x6_extract_roundtrip" ->
+      """SELECT d.doc_id,
+        | CASE WHEN len(string_split(trim(d.text), ' ')) >= 15
+        |   THEN '--- صفحة 1 ---' || chr(10) || 'Title ' || d.doc_id || chr(10) || d.text
+        |   ELSE '' END AS text,
+        | CASE WHEN len(string_split(trim(d.text), ' ')) >= 15 THEN 2 ELSE 0 END AS n_spans,
+        | CAST(NULL AS VARCHAR) AS error
+        |FROM documents d ORDER BY d.doc_id""".stripMargin,
+    // x12 must land on x6's exact prediction — same template, same
+    // extraction, reached through the WARC container roundtrip
+    "x12_warc_roundtrip" ->
       """SELECT d.doc_id,
         | CASE WHEN len(string_split(trim(d.text), ' ')) >= 15
         |   THEN '--- صفحة 1 ---' || chr(10) || 'Title ' || d.doc_id || chr(10) || d.text

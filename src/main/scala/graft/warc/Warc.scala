@@ -1,0 +1,176 @@
+package graft.warc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WARC source/sink: the Common-Crawl container (public ISO 28500 /
+  * WARC 1.0 layout), so the engine ingests the format the north-star
+  * corpus actually ships in — both plain `.warc` and the per-record
+  * gzip-member `.warc.gz` Common Crawl publishes.
+  *
+  * Reader shape at 100 TB: one WARC file is one `binaryFile` row
+  * (Common Crawl shards at ~1 GB/file, the standard Spark WARC
+  * discipline — per-task memory is bounded by shard size, records
+  * stream out of the buffer without a second copy), `flatMap` parses
+  * records, and a malformed FILE becomes one error row (error-as-row,
+  * never a task failure) while well-formed files yield one row per
+  * `response` record: (url, warc_ts, html, lang, error). Record
+  * boundaries are walked by Content-Length per the spec — no regex
+  * scanning over payload bytes, which may themselves contain header
+  * look-alikes.
+  */
+object Warc {
+
+  final case class WarcRow(url: String, warc_ts: java.sql.Timestamp,
+                           html: Array[Byte], lang: String, error: String)
+
+  private val Crlf = "\r\n"
+
+  // ---- writer ---------------------------------------------------------
+
+  /** One WARC/1.0 `response` record (plain bytes): WARC headers, then
+    * the HTTP response envelope (status line, Content-Type and
+    * Content-Language headers), then the HTML payload. Record-ID is a
+    * deterministic UUID from `id` so output is byte-reproducible. */
+  def record(id: Long, url: String, isoTs: String, lang: String,
+             html: Array[Byte]): Array[Byte] = {
+    val http = new java.io.ByteArrayOutputStream(html.length + 128)
+    http.write((s"HTTP/1.1 200 OK${Crlf}Content-Type: text/html; charset=utf-8$Crlf" +
+      s"Content-Language: $lang${Crlf}Content-Length: ${html.length}$Crlf$Crlf")
+      .getBytes("US-ASCII"))
+    http.write(html)
+    val body = http.toByteArray
+    val out = new java.io.ByteArrayOutputStream(body.length + 256)
+    out.write((s"WARC/1.0${Crlf}WARC-Type: response$Crlf" +
+      f"WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-$id%012x>$Crlf" +
+      s"WARC-Date: $isoTs${Crlf}WARC-Target-URI: $url$Crlf" +
+      s"Content-Type: application/http; msgtype=response$Crlf" +
+      s"Content-Length: ${body.length}$Crlf$Crlf").getBytes("US-ASCII"))
+    out.write(body)
+    out.write(s"$Crlf$Crlf".getBytes("US-ASCII"))
+    out.toByteArray
+  }
+
+  /** The file-level `warcinfo` header record Common Crawl files open
+    * with. */
+  def warcinfo(filename: String, isoTs: String): Array[Byte] = {
+    val body = s"software: graft${Crlf}format: WARC File Format 1.0$Crlf"
+      .getBytes("US-ASCII")
+    val out = new java.io.ByteArrayOutputStream(body.length + 192)
+    out.write((s"WARC/1.0${Crlf}WARC-Type: warcinfo$Crlf" +
+      s"WARC-Date: $isoTs${Crlf}WARC-Filename: $filename$Crlf" +
+      s"Content-Type: application/warc-fields$Crlf" +
+      s"Content-Length: ${body.length}$Crlf$Crlf").getBytes("US-ASCII"))
+    out.write(body)
+    out.write(s"$Crlf$Crlf".getBytes("US-ASCII"))
+    out.toByteArray
+  }
+
+  /** One gzip member per record — Common Crawl's `.warc.gz` layout
+    * (members concatenate into one file; readers may seek to any
+    * member). */
+  def gzipMember(rec: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(rec.length / 2 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(rec); gz.close()
+    bos.toByteArray
+  }
+
+  // ---- parser ---------------------------------------------------------
+
+  @inline private def isGzip(b: Array[Byte]): Boolean =
+    b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b
+
+  /** Parse one WARC file's bytes (plain, or concatenated gzip members —
+    * `GZIPInputStream` walks multi-member streams natively) into its
+    * `response` records. Strict per the spec: a malformed record
+    * header or truncated body throws — the Spark read path turns that
+    * into one error row per file. */
+  def parse(fileBytes: Array[Byte]): Seq[WarcRow] = {
+    val bytes =
+      if (isGzip(fileBytes))
+        new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(fileBytes)).readAllBytes()
+      else fileBytes
+    val out = scala.collection.mutable.ArrayBuffer.empty[WarcRow]
+    var off = 0
+    while (off < bytes.length) {
+      // skip inter-record CRLFs
+      while (off < bytes.length &&
+        (bytes(off) == '\r' || bytes(off) == '\n')) off += 1
+      if (off >= bytes.length) return out.toSeq
+      val headerEnd = indexOfCrlfCrlf(bytes, off)
+      require(headerEnd > 0, s"warc: unterminated record header at $off")
+      val header = new String(bytes, off, headerEnd - off, "US-ASCII")
+      val lines = header.split("\r\n")
+      require(lines.head.startsWith("WARC/"), s"warc: bad version line at $off")
+      val fields = lines.tail.flatMap { l =>
+        val i = l.indexOf(':')
+        if (i < 0) None else Some(l.substring(0, i).trim.toLowerCase ->
+          l.substring(i + 1).trim)
+      }.toMap
+      val len = fields.getOrElse("content-length",
+        throw new IllegalArgumentException(s"warc: missing Content-Length at $off")).toInt
+      val bodyStart = headerEnd + 4
+      require(len >= 0 && bodyStart + len <= bytes.length,
+        s"warc: truncated record body at $off")
+      if (fields.get("warc-type").contains("response")) {
+        val url = fields.getOrElse("warc-target-uri", null)
+        val ts = fields.get("warc-date")
+          .map(d => java.sql.Timestamp.from(java.time.Instant.parse(d))).orNull
+        val (html, lang) = stripHttp(bytes, bodyStart, len)
+        out += WarcRow(url, ts, html, lang, null)
+      }
+      off = bodyStart + len
+    }
+    out.toSeq
+  }
+
+  /** Strip the HTTP response envelope from a record body, returning
+    * (payload bytes, Content-Language header or null). A body without
+    * an HTTP status line is returned whole (resource records). */
+  private def stripHttp(b: Array[Byte], start: Int, len: Int): (Array[Byte], String) = {
+    val isHttp = len >= 5 && b(start) == 'H' && b(start + 1) == 'T' &&
+      b(start + 2) == 'T' && b(start + 3) == 'P' && b(start + 4) == '/'
+    if (!isHttp) return (java.util.Arrays.copyOfRange(b, start, start + len), null)
+    val he = indexOfCrlfCrlf(b, start)
+    require(he > 0 && he + 4 <= start + len, "warc: unterminated http header")
+    val lang = new String(b, start, he - start, "US-ASCII").split("\r\n")
+      .collectFirst {
+        case l if l.toLowerCase.startsWith("content-language:") =>
+          l.substring(l.indexOf(':') + 1).trim
+      }.orNull
+    (java.util.Arrays.copyOfRange(b, he + 4, start + len), lang)
+  }
+
+  private def indexOfCrlfCrlf(b: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i + 3 < b.length) {
+      if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' && b(i + 3) == '\n')
+        return i
+      i += 1
+    }
+    -1
+  }
+
+  // ---- spark read path ------------------------------------------------
+
+  /** WARC files → one row per `response` record:
+    * (url, warc_ts, html BINARY, lang, error). One malformed FILE is
+    * one error row carrying the file path, never a task failure. */
+  def read(spark: SparkSession, pathGlob: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(pathGlob)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, content) =>
+        try parse(content)
+        catch {
+          case e: Exception =>
+            Iterator.single(WarcRow(path, null, null, null,
+              s"حدث خطأ: warc: ${e.getMessage}"))
+        }
+      }
+      .toDF("url", "warc_ts", "html", "lang", "error")
+  }
+}
