@@ -304,6 +304,30 @@ object OpsQueries {
             .otherwise("test").as("split"))
         .orderBy("doc_id")
     }),
+    // corpus-statistics quality signal: rare-token ratio. Unlike t2's
+    // row-local heuristics this is a TWO-PASS op — pass 1 builds the
+    // vocabulary document-frequency table (groupBy token, partial-agg
+    // combined), pass 2 joins every token occurrence back against it
+    // (shuffle keyed by token — the inverted-index shape; the DF table
+    // is orders smaller than the corpus and 1 row per key, so the join
+    // output is linear in occurrences). Docs whose tokens are mostly
+    // corpus-rare are OCR garbage / lorem noise / non-language — the
+    // standard web-corpus noisiness filter that fixed stopword lists
+    // miss.
+    "t10_rare_tokens" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val toks = docs.select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+      val dfreq = toks.groupBy("tok")
+        .agg(countDistinct(col("doc_id")).as("df"))
+      toks.join(dfreq, "tok")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("df") <= 2, 1L).otherwise(0L)).as("n_rare"))
+        .withColumn("rare_ratio",
+          col("n_rare").cast("double") / col("n_tokens").cast("double"))
+        .orderBy("doc_id")
+    }),
     // per-host document cap (the crawl-balance step: no domain may
     // dominate the training mix). Deterministic SAMPLING, not
     // first-N: each doc's priority is splitmix64(doc_id) — stable
@@ -853,6 +877,17 @@ object OpsQueries {
         |     '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
         |   '\+[0-9]{7,15}', '<PHONE>', 'g') AS redacted
         |FROM inp ORDER BY doc_id""".stripMargin,
+    "t10_rare_tokens" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        | FROM documents),
+        |dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |       SUM(CASE WHEN df <= 2 THEN 1 ELSE 0 END) AS n_rare,
+        |       CAST(SUM(CASE WHEN df <= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+        |         AS rare_ratio
+        |FROM toks JOIN dfreq USING (tok)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // t9: the same splitmix64 recomputation as t8, then the top-53-bit
     // double score and a per-source row_number mirroring TopKAgg's
     // exact (score DESC, doc_id ASC) order

@@ -464,6 +464,27 @@ class OpsSpec extends AnyFunSuite {
     assert(rBcast.sameElements(rShuffle), "guard must not change results")
   }
 
+  test("rare-token ratio: corpus-DF-driven, exact against a driver recount") {
+    val out = OpsQueries.all("t10_rare_tokens")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_rare"),
+          r.getAs[Double]("rare_ratio"))).toMap
+    assert(out.nonEmpty)
+    // driver recount over the same corpus
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").trim.split("\\s+").toSeq)
+    val df = docs.flatMap { case (id, ts) => ts.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (t, xs) => t -> xs.length }
+    docs.foreach { case (id, ts) =>
+      val nRare = ts.count(t => df(t) <= 2)
+      val (gotN, gotR, ratio) = out(id)
+      assert(gotN == ts.length && gotR == nRare, s"doc $id")
+      assert(ratio == nRare.toDouble / ts.length, s"doc $id ratio")
+    }
+  }
+
   test("per-host cap: deterministic top-K sample per source == window reference") {
     import org.apache.spark.sql.expressions.Window
     val out = OpsQueries.all("t9_host_cap")(spark, sf).collect()
