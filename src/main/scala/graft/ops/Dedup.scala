@@ -287,6 +287,23 @@ object Dedup {
     labels
   }
 
+  /** Deduplicated-corpus materialization — the artifact the whole
+    * chain exists to produce. Given the corpus and a near-dup pair
+    * list, resolve clusters ([[connectedComponents]]) and keep every
+    * doc that is either untouched by any pair or its cluster's
+    * canonical (least-id) member. Scale shape: the loser list is one
+    * filter over the component labels (labels cover only ids appearing
+    * in pairs — a sliver of the corpus), and the corpus streams
+    * through a single LEFT ANTI equi-join against it; no corpus text
+    * is shuffled. */
+  def dedupedCorpus(docs: DataFrame, idCol: String, pairs: DataFrame,
+                    checkpointDir: Option[String] = None): DataFrame = {
+    val cc = connectedComponents(pairs, checkpointDir = checkpointDir)
+    val losers = cc.filter(col("component") =!= col("id"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Embedding cosine near-dup pairs via LSH bucketing (see
     * Similarity.lshBucket): only same-bucket pairs are compared —
     * the 10^12-scale path; brute force stays in the test oracle. */

@@ -107,6 +107,17 @@ object OpsQueries {
       Dedup.substringDupStats(corpus, "doc_id", "text", k = 8)
         .orderBy("doc_id")
     }),
+    // deduped-corpus materialization: pair generation → cluster
+    // resolution → keep canonical docs only, end to end
+    "d9_dedup_corpus" -> ((s, dir) => {
+      GraftSession.register(s)
+      val corpus = docsWithNearDups(s, dir)
+      val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
+        k = 64, bands = 16, minEstJaccard = 0.5)
+      Dedup.dedupedCorpus(corpus, "doc_id", pairs)
+        .select(col("doc_id"), length(col("text")).as("n_chars"))
+        .orderBy("doc_id")
+    }),
     // SimHash hamming-band dedup
     "d4_simhash" -> ((s, dir) => {
       GraftSession.register(s)
@@ -543,7 +554,9 @@ object OpsQueries {
     * cluster_size counts the component's members — mirroring
     * Dedup.connectedComponents' min-label fixpoint semantics from
     * first principles (closure, not label propagation). */
-  private lazy val d6OracleSql: String =
+  /** The shared closure CTEs (through `comp` and `sizes`) — the d6
+    * final select and d9's deduped-corpus anti-join both build on it. */
+  private lazy val d6CompCtes: String =
     s"""WITH RECURSIVE dup_pairs AS (
        |$d3PairsBody
        |),
@@ -558,10 +571,29 @@ object OpsQueries {
        |comp AS (
        | SELECT src AS doc_id, LEAST(src, MIN(dst)) AS canon_id
        | FROM reach GROUP BY src),
-       |sizes AS (SELECT canon_id, COUNT(*) AS cluster_size FROM comp GROUP BY canon_id)
+       |sizes AS (SELECT canon_id, COUNT(*) AS cluster_size FROM comp GROUP BY canon_id)""".stripMargin
+
+  private lazy val d6OracleSql: String =
+    s"""$d6CompCtes
        |SELECT c.doc_id, c.canon_id, s.cluster_size
        |FROM comp c JOIN sizes s USING (canon_id)
        |ORDER BY doc_id""".stripMargin
+
+  /** d9: the corpus d6's clusters deduplicate down to — every doc that
+    * is either untouched by any near-dup pair or its cluster's
+    * canonical (least-id) member survives. */
+  private lazy val d9OracleSql: String =
+    s"""$d6CompCtes,
+       |docs AS (
+       | SELECT doc_id, text FROM documents
+       | UNION ALL
+       | SELECT doc_id + 100000 AS doc_id, text || ' zz qq xx' AS text
+       | FROM documents WHERE doc_id % 5 = 0)
+       |SELECT d.doc_id, len(d.text) AS n_chars
+       |FROM docs d
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM comp c WHERE c.doc_id = d.doc_id AND c.canon_id <> c.doc_id)
+       |ORDER BY d.doc_id""".stripMargin
 
   /** Full SimHash recomputation: per-word FNV → ±1 votes per bit →
     * 64-bit fingerprint → 4×16-bit chunk-band join (pigeonhole) →
@@ -744,6 +776,7 @@ object OpsQueries {
     "d3_minhash_lsh" -> d3OracleSql,
     "d6_dup_clusters" -> d6OracleSql,
     "d8_substring_dup" -> d8OracleSql,
+    "d9_dedup_corpus" -> d9OracleSql,
     "d4_simhash" -> d4OracleSql,
     "s2_ann_lsh" -> s2OracleSql,
     "t4_fingerprint" -> t4OracleSql,

@@ -358,6 +358,20 @@ class OpsSpec extends AnyFunSuite {
     assert(gotCkpt == want, "checkpointDir run must match localCheckpoint run")
   }
 
+  test("deduped corpus: exactly the canonical + untouched docs survive") {
+    val d6 = OpsQueries.all("d6_dup_clusters")(spark, sf).collect()
+    val losers = d6.filter(r => r.getAs[Long]("canon_id") != r.getAs[Long]("doc_id"))
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(losers.nonEmpty)
+    val kept = OpsQueries.all("d9_dedup_corpus")(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val all = (base ++ base.filter(_ % 5 == 0).map(_ + 100000L)).toSet
+    assert(kept == all -- losers,
+      s"missing=${(all -- losers -- kept).take(5)} extra=${(kept -- all).take(5)}")
+  }
+
   test("pii redaction: planted emails/ips/phones are counted and scrubbed") {
     val out = OpsQueries.all("t6_redact")(spark, sf).collect()
     assert(out.nonEmpty)
