@@ -81,13 +81,44 @@ final class IceTable(val root: String, spark: SparkSession) {
     val id = asOf.orElse(currentSnapshotId)
       .getOrElse(throw new IllegalStateException(s"no snapshot in $root"))
     val snap = readSnapshot(id)
-    if (snap.files.isEmpty) return spark.emptyDataFrame
+    assemble(snap, snap.files)
+  }
+
+  /** Range read over the table's designated stats column: data files
+    * are pruned from MANIFEST statistics alone (no footer opens, no
+    * scan — Iceberg's data-file skipping), then the row-level filter
+    * runs on the survivors. Stats pruning is a strict superset of the
+    * matching rows, and files without recorded stats are never pruned,
+    * so the result equals `read().filter(col BETWEEN lo AND hi)`
+    * exactly — including across manifests written before stats
+    * existed. The win at scale: a time-sliced read of a long streaming
+    * append chain opens only the micro-batch commits whose [min,max]
+    * overlap the slice. */
+  def readRange(statsCol: String, lo: Long, hi: Long,
+                asOf: Option[Long] = None): DataFrame = {
+    require(lo <= hi, s"readRange: lo $lo > hi $hi")
+    val id = asOf.orElse(currentSnapshotId)
+      .getOrElse(throw new IllegalStateException(s"no snapshot in $root"))
+    val snap = readSnapshot(id)
+    val keep = snap.files.filter { f =>
+      (f.statsMin, f.statsMax) match {
+        case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
+        case _ => true // no stats recorded — must scan
+      }
+    }
+    if (keep.isEmpty) return spark.emptyDataFrame
+    assemble(snap, keep).filter(col(statsCol).cast("long").between(lo, hi))
+  }
+
+  private def assemble(snap: Snapshot, files: Seq[DataFileEntry]): DataFrame = {
+    val id = snap.id
+    if (files.isEmpty) return spark.emptyDataFrame
     // explicit manifest file list (Iceberg-style: plans from metadata,
     // no directory listing on the read path); basePath recovers the
     // grp/bucket partition columns for partition pruning. Append
     // snapshots carry files from several commit dirs — one read per
     // dir (each with its own basePath), unioned.
-    val byCommit = snap.files
+    val byCommit = files
       .groupBy(f => commitDirOf(f.path).getOrElse(snap.commitId)).toSeq.sortBy(_._1)
     // allowMissingColumns: an append chain whose commits carry
     // different column sets reads as the union schema with nulls for
@@ -133,12 +164,13 @@ final class IceTable(val root: String, spark: SparkSession) {
     * (north rule). The snapshot flips only after every group landed.
     */
   def commit(df: DataFrame, commitId: String, groups: Int = 8,
-             abortAfterGroup: Int = -1): Long = {
+             abortAfterGroup: Int = -1,
+             statsCol: Option[String] = None): Long = {
     val (files, rows) = writeGroups(df, commitId, groups, abortAfterGroup)
     // an overwrite manifest is parent-independent, so the freshest
     // parent read is correct; a racing flip still collides on the
     // snapshot id and raises ConcurrentCommitException
-    flipSnapshot(commitId, files, rows, df.columns.toSeq,
+    flipSnapshot(commitId, withStats(files, statsCol), rows, df.columns.toSeq,
       currentSnapshotId.getOrElse(-1L))
   }
 
@@ -151,7 +183,8 @@ final class IceTable(val root: String, spark: SparkSession) {
     * write; a commitId's files are filtered from the parent list
     * before re-adding, so they are never double-counted). The
     * snapshot's `lineage` stays per-commit (the DELTA's lineage). */
-  def commitAppend(df: DataFrame, commitId: String, groups: Int = 1): Long = {
+  def commitAppend(df: DataFrame, commitId: String, groups: Int = 1,
+                   statsCol: Option[String] = None): Long = {
     val parentId = currentSnapshotId
     val parent = parentId.map(readSnapshot)
     // replay safety: if the parent snapshot already carries this
@@ -168,8 +201,9 @@ final class IceTable(val root: String, spark: SparkSession) {
     // commit that landed after our parent read must make THIS flip
     // fail (the merged file list would silently drop its files if we
     // re-read the current snapshot here) — caller retries, re-reading
-    // the new parent
-    flipSnapshot(commitId, (parentFiles ++ files).sortBy(_.path),
+    // the new parent. Parent files keep the stats they already carry;
+    // only THIS commit's fresh files are scanned for theirs.
+    flipSnapshot(commitId, (parentFiles ++ withStats(files, statsCol)).sortBy(_.path),
       mergedRows, df.columns.toSeq, parentId.getOrElse(-1L))
   }
 
@@ -349,6 +383,34 @@ final class IceTable(val root: String, spark: SparkSession) {
       }.toSet
   }
 
+  /** Attach per-file min/max of `statsCol` (cast to long) to fresh
+    * commit entries — ONE column-pruned scan of just-written files,
+    * the write-side statistics collection Iceberg performs inline.
+    * Files where the column is entirely null keep no stats (and are
+    * therefore never pruned — correct, since they hold no matching
+    * rows but pruning must stay a superset). */
+  private def withStats(files: Seq[DataFileEntry],
+                        statsCol: Option[String]): Seq[DataFileEntry] = {
+    val c = statsCol.getOrElse(return files)
+    if (files.isEmpty) return files
+    // input_file_name() is a file URI (file:///...); manifest paths
+    // come from Hadoop Path.toString (file:/...) — compare scheme-free
+    def norm(p: String): String = p.replaceFirst("^[a-zA-Z0-9.+-]+:/+", "/")
+    val stats = spark.read.parquet(files.map(_.path): _*)
+      .select(input_file_name().as("__f"), col(c).cast("long").as("__v"))
+      .groupBy("__f").agg(min("__v").as("lo"), max("__v").as("hi"))
+      .collect()
+      .flatMap { r =>
+        if (r.isNullAt(1) || r.isNullAt(2)) None
+        else Some(norm(r.getString(0)) -> (r.getLong(1), r.getLong(2)))
+      }.toMap
+    files.map { f =>
+      stats.get(norm(f.path))
+        .map { case (lo, hi) => f.copy(statsMin = Some(lo), statsMax = Some(hi)) }
+        .getOrElse(f)
+    }
+  }
+
   private def listParquet(dir: Path): Seq[DataFileEntry] = {
     val out = ArrayBuffer.empty[DataFileEntry]
     if (!fs.exists(dir)) return out.toSeq
@@ -371,8 +433,13 @@ final class IceTable(val root: String, spark: SparkSession) {
     } + "\""
 
   private def renderSnapshot(s: Snapshot): String = {
-    val files = s.files.map(f => s"""{"path":${q(f.path)},"bytes":${f.bytes}}""")
-      .mkString("[", ",", "]")
+    val files = s.files.map { f =>
+      val stats = (f.statsMin, f.statsMax) match {
+        case (Some(lo), Some(hi)) => s""","min":$lo,"max":$hi"""
+        case _ => ""
+      }
+      s"""{"path":${q(f.path)},"bytes":${f.bytes}$stats}"""
+    }.mkString("[", ",", "]")
     val schema = s.schemaFields
       .map(fs => s""","schema":${fs.map(q).mkString("[", ",", "]")}""")
       .getOrElse("")
@@ -398,9 +465,11 @@ final class IceTable(val root: String, spark: SparkSession) {
     if (version > 1L)
       throw new IllegalStateException(
         s"snapshot format_version $version is newer than this reader (supports ≤1)")
-    val files = ("""\{"path":"((?:[^"\\]|\\.)*)","bytes":(\d+)\}""").r
+    val files = ("""\{"path":"((?:[^"\\]|\\.)*)","bytes":(\d+)(?:,"min":(-?\d+),"max":(-?\d+))?\}""").r
       .findAllMatchIn(txt)
-      .map(m => DataFileEntry(m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"), m.group(2).toLong))
+      .map(m => DataFileEntry(
+        m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"), m.group(2).toLong,
+        Option(m.group(3)).map(_.toLong), Option(m.group(4)).map(_.toLong)))
       .toSeq
     val schemaFields = (""""schema":\[((?:"(?:[^"\\]|\\.)*",?)*)\]""").r
       .findFirstMatchIn(txt).map { m =>
@@ -421,7 +490,15 @@ object IceTable {
       extends IllegalStateException(
         s"concurrent commit detected: snap-$snapshotId already published (commit $commitId lost the race)")
 
-  final case class DataFileEntry(path: String, bytes: Long)
+  /** One data file in a manifest. `statsMin`/`statsMax` optionally
+    * carry the file's min/max of the table's designated long-typed
+    * stats column (Iceberg data-file statistics): readRange prunes
+    * files from METADATA alone — no footer opens, no scan — and old
+    * manifests without stats stay readable (the file is simply never
+    * pruned). */
+  final case class DataFileEntry(path: String, bytes: Long,
+                                 statsMin: Option[Long] = None,
+                                 statsMax: Option[Long] = None)
   final case class Snapshot(
       id: Long,
       parentId: Long,

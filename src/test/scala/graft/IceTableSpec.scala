@@ -161,6 +161,51 @@ class IceTableSpec extends AnyFunSuite {
     assert(out.filter(col("lang") === "en").count() == 40)
   }
 
+  test("manifest file stats: range read prunes micro-batch commits from metadata") {
+    import org.apache.spark.sql.functions._
+    val root = tmpRoot("stats")
+    val table = new IceTable(root, spark)
+    def batch(lo: Long): org.apache.spark.sql.DataFrame =
+      spark.range(lo, lo + 1000).select(col("id").as("seq"),
+        pmod(col("id"), lit(4)).cast("int").as("bucket"),
+        lit(null).cast("string").as("error"), lit("t").as("text"))
+    // batch 0 predates stats (legacy manifest entries — must never be
+    // pruned); batches 1-3 record per-file seq min/max
+    table.commitAppend(batch(0), "b0")
+    (1 to 3).foreach(i => table.commitAppend(batch(i * 1000L), s"b$i",
+      statsCol = Some("seq")))
+    val snap = table.readSnapshot(table.currentSnapshotId.get)
+    val (legacy, withStats) = snap.files.partition(_.path.contains("/commit-b0/"))
+    assert(legacy.nonEmpty && legacy.forall(_.statsMin.isEmpty))
+    assert(withStats.nonEmpty && withStats.forall(f =>
+      f.statsMin.isDefined && f.statsMax.isDefined && f.statsMin.get <= f.statsMax.get))
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.relation.location.inputFiles.length
+      }.sum
+    // a slice inside batch 2: exactly the files whose recorded
+    // [min,max] overlap the slice plus the stats-less legacy files may
+    // be opened — batches 1/3 prune away entirely, and WITHIN batch 2
+    // the per-file stats prune the non-overlapping range partitions too
+    val sliced = table.readRange("seq", 2100, 2199)
+    val expectOpen = legacy.length + withStats.count(f =>
+      f.statsMax.get >= 2100 && f.statsMin.get <= 2199)
+    assert(scannedFiles(sliced) == expectOpen,
+      s"scanned ${scannedFiles(sliced)}, expected $expectOpen of ${snap.files.length}")
+    assert(withStats.count(f => f.statsMax.get >= 2100 && f.statsMin.get <= 2199) <
+      withStats.count(_.path.contains("/commit-b2/")),
+      "per-file stats must prune finer than whole commits")
+    assert(scannedFiles(sliced) < snap.files.length)
+    // and the rows equal the unpruned filter exactly
+    val want = table.read().filter(col("seq").between(2100, 2199))
+      .select("seq").collect().map(_.getLong(0)).sorted
+    val got = sliced.select("seq").collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(want) && got.length == 100)
+    // a slice matching nothing reads no files at all
+    assert(table.readRange("seq", 100000, 200000).isEmpty)
+  }
+
   test("two racing committers: never a lost snapshot; loser's data expirable") {
     import org.apache.spark.sql.functions._
     val root = tmpRoot("race")
