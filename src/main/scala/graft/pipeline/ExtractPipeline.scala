@@ -45,6 +45,23 @@ object ExtractPipeline {
         col("lang"),
         col("r.error").as("error"))
 
+  /** Ingest WARC shards (the Common-Crawl container, graft.warc.Warc)
+    * straight into the recognize stage: one binaryFile task per shard,
+    * response records extracted row-locally, container-level failures
+    * (a malformed file) pass through as error rows with extraction
+    * fields null — the same error-as-row discipline as extraction
+    * itself. lang rides the HTTP Content-Language header. */
+  def fromWarc(spark: org.apache.spark.sql.SparkSession, pathGlob: String): DataFrame = {
+    graft.GraftSession.register(spark)
+    val rows = graft.warc.Warc.read(spark, pathGlob)
+    rows
+      .withColumn("r", when(col("error").isNull,
+        call_function("graft_extract", col("html"), col("lang"))))
+      .select(col("url"), col("warc_ts"),
+        col("r.text").as("text"), col("r.spans").as("spans"), col("lang"),
+        coalesce(col("error"), col("r.error")).as("error"))
+  }
+
   /** Typed view of the extraction stage — compile-time field checks
     * for downstream stages (north star: "typed Dataset pipeline");
     * same plan as `extracted` (the encoder maps the identical schema). */

@@ -48,7 +48,10 @@ object StreamingExtract {
     * the latest snapshot always reads the full accumulated table).
     * foreachBatch replay of a batchId is idempotent at the data layer:
     * commitAppend skips finished group markers and never double-counts
-    * a commit's files. */
+    * a commit's files. Each commit records per-file warc_ts min/max in
+    * the manifest, so a time-sliced `readRange` over the accumulated
+    * append chain opens only the overlapping micro-batch files —
+    * crawl-slice reads stay O(slice), not O(history). */
   def runIceTable(spark: SparkSession, pagesDir: String, tableRoot: String,
                   checkpointDir: String, buckets: Int = 8): StreamingQuery = {
     GraftSession.register(spark)
@@ -56,7 +59,11 @@ object StreamingExtract {
     val pages = spark.readStream
       .schema("url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING")
       .parquet(pagesDir)
-    ExtractPipeline.extracted(pages)
+    // carry warc_ts through extraction: it keys the manifest time stats
+    pages
+      .withColumn("r", call_function("graft_extract", col("html"), col("lang")))
+      .select(col("url"), col("warc_ts"), col("r.text").as("text"),
+        col("r.spans").as("spans"), col("lang"), col("r.error").as("error"))
       .writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -75,7 +82,11 @@ object StreamingExtract {
           var done = false
           while (!done) {
             attempts += 1
-            try { table.commitAppend(out, s"stream-$batchId"); done = true }
+            try {
+              table.commitAppend(out, s"stream-$batchId",
+                statsCol = Some("warc_ts"))
+              done = true
+            }
             catch {
               case e: graft.tables.IceTable.ConcurrentCommitException
                   if attempts < 3 =>

@@ -107,7 +107,8 @@ final class IceTable(val root: String, spark: SparkSession) {
       }
     }
     if (keep.isEmpty) return spark.emptyDataFrame
-    assemble(snap, keep).filter(col(statsCol).cast("long").between(lo, hi))
+    val df = assemble(snap, keep)
+    df.filter(statLong(df, statsCol).between(lo, hi))
   }
 
   private def assemble(snap: Snapshot, files: Seq[DataFileEntry]): DataFrame = {
@@ -389,6 +390,16 @@ final class IceTable(val root: String, spark: SparkSession) {
     * Files where the column is entirely null keep no stats (and are
     * therefore never pruned — correct, since they hold no matching
     * rows but pruning must stay a superset). */
+  /** The long image of a stats column: timestamps map through
+    * unix_micros (Spark refuses a direct timestamp→long cast),
+    * integer types cast. Shared by stats collection and readRange so
+    * the recorded numbers and the filter always speak the same unit. */
+  private def statLong(df: DataFrame, c: String): org.apache.spark.sql.Column =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
+      case _ => col(c).cast("long")
+    }
+
   private def withStats(files: Seq[DataFileEntry],
                         statsCol: Option[String]): Seq[DataFileEntry] = {
     val c = statsCol.getOrElse(return files)
@@ -396,8 +407,9 @@ final class IceTable(val root: String, spark: SparkSession) {
     // input_file_name() is a file URI (file:///...); manifest paths
     // come from Hadoop Path.toString (file:/...) — compare scheme-free
     def norm(p: String): String = p.replaceFirst("^[a-zA-Z0-9.+-]+:/+", "/")
-    val stats = spark.read.parquet(files.map(_.path): _*)
-      .select(input_file_name().as("__f"), col(c).cast("long").as("__v"))
+    val fresh = spark.read.parquet(files.map(_.path): _*)
+    val stats = fresh
+      .select(input_file_name().as("__f"), statLong(fresh, c).as("__v"))
       .groupBy("__f").agg(min("__v").as("lo"), max("__v").as("hi"))
       .collect()
       .flatMap { r =>

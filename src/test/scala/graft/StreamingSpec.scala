@@ -66,6 +66,26 @@ class StreamingSpec extends AnyFunSuite {
     // earlier snapshots time-travel to the smaller increments
     val first = table.read(Some(table.snapshots.head)).count()
     assert(first < 500 && first > 0)
+    // every streamed commit records per-file warc_ts stats in the
+    // manifest, and a time-sliced readRange equals the full-scan filter
+    // while opening fewer files (crawl-slice reads stay O(slice))
+    val snap = table.readSnapshot(table.currentSnapshotId.get)
+    assert(snap.files.nonEmpty && snap.files.forall(f =>
+      f.statsMin.isDefined && f.statsMax.isDefined))
+    val loMicros = snap.files.map(_.statsMin.get).min
+    val hiMicros = snap.files.map(_.statsMax.get).max
+    assert(loMicros < hiMicros, "time stats must span the crawl window")
+    val mid = (loMicros + hiMicros) / 2
+    val slice = table.readRange("warc_ts", loMicros, mid)
+    val want = table.read().filter(
+        org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("warc_ts")).between(loMicros, mid))
+      .select("url").collect().map(_.getString(0)).sorted
+    val got = slice.select("url").collect().map(_.getString(0)).sorted
+    assert(got.nonEmpty && got.sameElements(want))
+    val openable = snap.files.count(f => f.statsMax.get >= loMicros && f.statsMin.get <= mid)
+    assert(openable < snap.files.length,
+      "the half-window slice must prune at least one file")
 
     // compaction rewrites the accumulated small files into one commit
     val filesBefore = table.read().inputFiles.length

@@ -82,5 +82,14 @@ class WarcSpec extends AnyFunSuite {
       (0 until 5).map(i => s"http://h/$i"))
     assert(errs.head.getAs[String]("url").endsWith("bad.warc"))
     assert(errs.head.getAs[String]("error").contains("warc"))
+    // WARC → recognize glue: extraction fields populated for records,
+    // the container error row passes through untouched
+    val ext = graft.pipeline.ExtractPipeline.fromWarc(spark, dir.getPath + "/*")
+      .collect()
+    assert(ext.length == 6)
+    val (eErr, eOk) = ext.partition(r => r.getAs[String]("error") != null)
+    assert(eOk.length == 5 && eOk.forall(_.getAs[String]("text") != null))
+    assert(eErr.length == 1 && eErr.head.getAs[String]("error").contains("warc"))
+    assert(eErr.head.getAs[String]("text") == null)
   }
 }
