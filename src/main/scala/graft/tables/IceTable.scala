@@ -111,6 +111,37 @@ final class IceTable(val root: String, spark: SparkSession) {
     df.filter(statLong(df, statsCol).between(lo, hi))
   }
 
+  /** Incremental read: only the data files ADDED between two snapshots
+    * (exclusive `fromSnapshot`, inclusive `toSnapshot`) — the Iceberg
+    * incremental-consumption pattern, letting a downstream pipeline
+    * process each append delta exactly once instead of rescanning the
+    * accumulated table. Works from manifests alone (set difference of
+    * file lists); an overwrite commit's files appear in full, since
+    * they are all new. */
+  def readIncremental(fromSnapshot: Long, toSnapshot: Long): DataFrame = {
+    require(fromSnapshot <= toSnapshot,
+      s"readIncremental: from $fromSnapshot > to $toSnapshot")
+    val to = readSnapshot(toSnapshot)
+    val seen = readSnapshot(fromSnapshot).files.map(_.path).toSet
+    assemble(to, to.files.filterNot(f => seen.contains(f.path)))
+  }
+
+  /** Roll the table back to an earlier snapshot's state by committing
+    * a NEW snapshot that re-references the old file list (Iceberg
+    * rollback): history stays append-only — nothing is deleted, the
+    * abandoned snapshots remain time-travelable until expired. */
+  def rollback(toSnapshot: Long): Long = {
+    val target = readSnapshot(toSnapshot)
+    val parent = currentSnapshotId
+      .getOrElse(throw new IllegalStateException(s"no snapshot in $root"))
+    require(toSnapshot <= parent, s"rollback target $toSnapshot is not in the past")
+    // re-reference the target's lineage too: lineage(asOf=new) must
+    // describe the data the new snapshot actually reads
+    flipSnapshot(s"rollback-to-$toSnapshot", target.files, target.rows,
+      target.schemaFields.getOrElse(Nil), parent,
+      lineageOverride = Some(target.lineagePath))
+  }
+
   private def assemble(snap: Snapshot, files: Seq[DataFileEntry]): DataFrame = {
     val id = snap.id
     if (files.isEmpty) return spark.emptyDataFrame
@@ -279,8 +310,10 @@ final class IceTable(val root: String, spark: SparkSession) {
     * against the new parent. */
   private[tables] def flipSnapshot(commitId: String, files: Seq[DataFileEntry],
                                    rows: Long, schemaFields: Seq[String],
-                                   parent: Long): Long = {
-    val lineageDir = s"$root/metadata/lineage/$commitId"
+                                   parent: Long,
+                                   lineageOverride: Option[String] = None): Long = {
+    val lineageDir =
+      lineageOverride.getOrElse(s"$root/metadata/lineage/$commitId")
     val next = parent + 1
     val json = renderSnapshot(Snapshot(next, parent, commitId, files, rows, lineageDir,
       Some(schemaFields)))

@@ -206,6 +206,35 @@ class IceTableSpec extends AnyFunSuite {
     assert(table.readRange("seq", 100000, 200000).isEmpty)
   }
 
+  test("incremental read yields each append delta exactly once; rollback is append-only") {
+    import org.apache.spark.sql.functions._
+    val root = tmpRoot("incr")
+    val table = new IceTable(root, spark)
+    def batch(lo: Long, n: Long): org.apache.spark.sql.DataFrame =
+      spark.range(lo, lo + n).select(col("id").as("seq"),
+        pmod(col("id"), lit(4)).cast("int").as("bucket"),
+        lit(null).cast("string").as("error"), lit("t").as("text"))
+    val s0 = table.commitAppend(batch(0, 100), "i0")
+    val s1 = table.commitAppend(batch(100, 50), "i1")
+    val s2 = table.commitAppend(batch(150, 30), "i2")
+    // each delta surfaces exactly its own batch's rows
+    val d1 = table.readIncremental(s0, s1).select("seq").collect()
+      .map(_.getLong(0)).sorted
+    assert(d1.sameElements(100L until 150L), s"delta1 ${d1.length} rows")
+    val d2 = table.readIncremental(s1, s2).select("seq").collect()
+      .map(_.getLong(0)).sorted
+    assert(d2.sameElements(150L until 180L))
+    // chained deltas + the base reconstruct the full table, no overlap
+    assert(table.readIncremental(s0, s2).count() == 80)
+    assert(table.readIncremental(s2, s2).isEmpty)
+    // rollback: a NEW snapshot re-reads s1's state; history append-only
+    val s3 = table.rollback(s1)
+    assert(s3 > s2)
+    assert(table.read().count() == 150)
+    assert(table.read(Some(s2)).count() == 180, "abandoned snapshot stays travelable")
+    assert(table.lineage().collect().map(_.getAs[Long]("rows")).sum > 0)
+  }
+
   test("two racing committers: never a lost snapshot; loser's data expirable") {
     import org.apache.spark.sql.functions._
     val root = tmpRoot("race")
