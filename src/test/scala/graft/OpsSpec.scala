@@ -432,6 +432,21 @@ class OpsSpec extends AnyFunSuite {
     assert(Seq("one two three").toDF("text")
       .select(call_function("graft_token_windows", col("text"), lit(8)))
       .collect().head.getSeq[Long](0).isEmpty)
+    // property: for random token lists and window sizes, the virtual-
+    // string hash equals fnv1a of the materialized joined window
+    val rnd = new scala.util.Random(4242)
+    (1 to 40).foreach { _ =>
+      val k = 1 + rnd.nextInt(6)
+      val n = rnd.nextInt(14)
+      val words = Seq.fill(n)(rnd.alphanumeric.take(1 + rnd.nextInt(7)).mkString)
+      val text = words.mkString(sep = if (rnd.nextBoolean()) " " else "\t  ")
+      val got = Seq(text).toDF("text")
+        .select(call_function("graft_token_windows", col("text"), lit(k)))
+        .collect().head.getSeq[Long](0)
+      val exp = (0 to n - k)
+        .map(j => graft.expr.Hash64.fnv1a(words.slice(j, j + k).mkString(" ")))
+      assert(got == exp, s"k=$k words=$words")
+    }
     // d8: every planted spliced copy (doc_id ≥ 300000) shares nearly
     // all its post-prefix windows with the original — flagged high;
     // its original stays the canonical first occurrence
