@@ -57,6 +57,9 @@ object GraftSession {
       SplitMix64(Cast(exprs.head, org.apache.spark.sql.types.LongType))),
     "graft_lsh_bucket" -> (exprs => LshBucket(exprs.head, exprs(1))),
     "graft_explode_blocks" -> (exprs => graft.expr.ExplodeBlocks(exprs.head)),
+    // html | binary both accepted (BINARY→STRING cast is utf-8 decode)
+    "graft_outlinks" -> (exprs =>
+      graft.expr.Outlinks(Cast(exprs.head, org.apache.spark.sql.types.StringType))),
     "graft_shingles" -> (exprs => graft.expr.Shingles(exprs.head)),
     // positional k-token window hashes (exact-substring dedup): k is a
     // plan-time literal, coerced like graft_topk's k

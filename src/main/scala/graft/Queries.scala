@@ -213,6 +213,23 @@ object Queries {
           size(col("r.spans")).as("n_spans"), col("r.error").as("error"))
         .orderBy("doc_id")
     }),
+    // outlink extraction (the web-graph edge primitive): hrefs of the
+    // x6 template's four anchors, in document order with duplicates —
+    // the oracle predicts every (doc, idx, href) row
+    "x13_outlinks" -> ((s, dir) => {
+      GraftSession.register(s)
+      val html = concat(
+        lit("<html><head><title>t</title></head><body>" +
+          "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a></nav><h1>Title "),
+        col("doc_id"),
+        lit("</h1><p>"), col("text"),
+        lit("</p><footer>Copyright <a href=\"#\">here</a> <a href=\"#\">there</a></footer>" +
+          "</body></html>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(call_function("graft_outlinks", html)).as(Seq("link_idx", "href")))
+        .orderBy("doc_id", "link_idx")
+    }),
     // WARC ingestion roundtrip: the documents corpus is staged as real
     // Common-Crawl-layout .warc.gz shards (per-record gzip members,
     // warcinfo header record, HTTP response envelopes) by an
@@ -678,6 +695,11 @@ object Queries {
         | CASE WHEN len(string_split(trim(d.text), ' ')) >= 15 THEN 2 ELSE 0 END AS n_spans,
         | CAST(NULL AS VARCHAR) AS error
         |FROM documents d ORDER BY d.doc_id""".stripMargin,
+    "x13_outlinks" ->
+      """SELECT d.doc_id, l.link_idx, l.href
+        |FROM documents d,
+        |     (VALUES (0, '/'), (1, '/a'), (2, '#'), (3, '#')) AS l(link_idx, href)
+        |ORDER BY doc_id, link_idx""".stripMargin,
     // x12 must land on x6's exact prediction — same template, same
     // extraction, reached through the WARC container roundtrip
     "x12_warc_roundtrip" ->

@@ -328,3 +328,70 @@ case class LangId(child: Expression)
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
+
+/** `graft_outlinks(html) -> ARRAY<STRING>` — href targets of `<a>`
+  * tags in document order, duplicates preserved: the web-graph edge
+  * primitive (outlink extraction feeds link-graph construction and
+  * u1-style URL canonicalization downstream). The scan is quote-aware
+  * exactly like [[graft.html.HtmlTokenizer]] (a '>' inside a quoted
+  * attribute value does not end the tag) but deliberately SEPARATE
+  * from it: the tokenizer's token stream is frozen by the
+  * FusedSegmenter equivalence + golden digests and carries no
+  * attributes, so link extraction must not touch it. `href` must be
+  * preceded by whitespace (so `data-href` never matches); values may
+  * be quoted or bare; hrefs are returned raw — canonicalize later. */
+case class Outlinks(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "graft_outlinks"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    val n = s.length
+    val out = new scala.collection.mutable.ArrayBuffer[Any](8)
+    @inline def isWs(c: Char) = Character.isWhitespace(c)
+    var i = 0
+    while (i < n) {
+      if (s.charAt(i) == '<' && i + 1 < n &&
+          (s.charAt(i + 1) == 'a' || s.charAt(i + 1) == 'A') &&
+          (i + 2 >= n || isWs(s.charAt(i + 2)) || s.charAt(i + 2) == '>' ||
+            s.charAt(i + 2) == '/')) {
+        var k = i + 2
+        var href: String = null
+        while (k < n && s.charAt(k) != '>') {
+          val c = s.charAt(k)
+          if (c == '"' || c == '\'') { // quoted value of some attribute
+            k += 1
+            while (k < n && s.charAt(k) != c) k += 1
+            if (k < n) k += 1
+          } else if (href == null && isWs(c) && k + 4 < n &&
+              s.regionMatches(true, k + 1, "href", 0, 4)) {
+            var p = k + 5
+            while (p < n && isWs(s.charAt(p))) p += 1
+            if (p < n && s.charAt(p) == '=') {
+              p += 1
+              while (p < n && isWs(s.charAt(p))) p += 1
+              if (p < n && (s.charAt(p) == '"' || s.charAt(p) == '\'')) {
+                val q = s.charAt(p)
+                val st = p + 1
+                var e = st
+                while (e < n && s.charAt(e) != q) e += 1
+                href = s.substring(st, e)
+                k = math.min(e + 1, n)
+              } else { // bare value: up to whitespace or '>'
+                val st = p
+                var e = st
+                while (e < n && !isWs(s.charAt(e)) && s.charAt(e) != '>') e += 1
+                href = s.substring(st, e)
+                k = e
+              }
+            } else k += 1
+          } else k += 1
+        }
+        if (href != null) out += UTF8String.fromString(href)
+        i = k
+      } else i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -315,6 +315,18 @@ object OpsQueries {
             .otherwise("test").as("split"))
         .orderBy("doc_id")
     }),
+    // link-graph analytics: integer-exact PageRank over the host graph
+    // derived deterministically from documents (src = the doc's
+    // source host, dst = 'src'||(doc_id·7 mod 20)). Fixed-point
+    // ranks (scale 2^20, per-edge floored contributions) make the
+    // result bit-identical at any parallelism AND SQL-recomputable —
+    // float PageRank could never be hash-compared across engines.
+    "g1_pagerank" -> ((s, dir) => {
+      val edges = t(s, dir, "documents").select(
+        col("source").as("src"),
+        concat(lit("src"), ((col("doc_id") * 7) % 20).cast("string")).as("dst"))
+      Graph.pageRank(edges, "src", "dst", iters = 3).orderBy("host")
+    }),
     // corpus-statistics quality signal: rare-token ratio. Unlike t2's
     // row-local heuristics this is a TWO-PASS op — pass 1 builds the
     // vocabulary document-frequency table (groupBy token, partial-agg
@@ -490,6 +502,34 @@ object OpsQueries {
        |       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
        |         AS dup_ratio
        |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** g1 from first principles: the same deterministic host graph, 3
+    * unrolled PageRank rounds in pure integer arithmetic — DuckDB's
+    * `//` floor division mirrors Spark's `div` per edge, so the sums
+    * match bit-for-bit. */
+  private lazy val g1OracleSql: String = {
+    def round(i: Int, prev: String): String =
+      s"""c$i AS (
+         | SELECT e.dst AS host, SUM((85 * r.rank) // (100 * o.odeg)) AS contrib
+         | FROM edges e JOIN $prev r ON r.host = e.src
+         |              JOIN outdeg o ON o.src = e.src
+         | GROUP BY e.dst),
+         |r$i AS (
+         | SELECT nd.host, (15 * 1048576) // (100 * p.n) + COALESCE(c.contrib, 0) AS rank
+         | FROM nodes nd CROSS JOIN p LEFT JOIN c$i c ON c.host = nd.host)"""
+        .stripMargin
+    s"""WITH edges AS (
+       | SELECT source AS src, 'src' || ((doc_id * 7) % 20) AS dst FROM documents),
+       |nodes AS (SELECT DISTINCT host FROM
+       | (SELECT src AS host FROM edges UNION ALL SELECT dst FROM edges)),
+       |outdeg AS (SELECT src, COUNT(*) AS odeg FROM edges GROUP BY src),
+       |p AS (SELECT COUNT(*) AS n FROM nodes),
+       |r0 AS (SELECT host, 1048576 // n AS rank FROM nodes, p),
+       |${round(1, "r0")},
+       |${round(2, "r1")},
+       |${round(3, "r2")}
+       |SELECT host, rank FROM r3 ORDER BY host""".stripMargin
+  }
 
   /** The planted-near-dup corpus + per-word FNV hashes, shared by the
     * d3/d4 oracles (exact mirror of docsWithNearDups + tokenization). */
@@ -777,6 +817,7 @@ object OpsQueries {
     "d6_dup_clusters" -> d6OracleSql,
     "d8_substring_dup" -> d8OracleSql,
     "d9_dedup_corpus" -> d9OracleSql,
+    "g1_pagerank" -> g1OracleSql,
     "d4_simhash" -> d4OracleSql,
     "s2_ann_lsh" -> s2OracleSql,
     "t4_fingerprint" -> t4OracleSql,

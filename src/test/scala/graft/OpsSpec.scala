@@ -358,6 +358,62 @@ class OpsSpec extends AnyFunSuite {
     assert(gotCkpt == want, "checkpointDir run must match localCheckpoint run")
   }
 
+  test("outlinks: quote traps, data-href, bare values, case, order") {
+    import spark.implicits._
+    GraftSession.register(spark)
+    def links(html: String): Seq[String] =
+      Seq(html).toDF("h")
+        .select(call_function("graft_outlinks", col("h")))
+        .collect().head.getSeq[String](0)
+    // document order, duplicates preserved, '>' inside a quoted title
+    // must not end the tag, data-href must not match, anchors without
+    // href are skipped, bare and uppercase forms parse
+    val html =
+      """<html><body>
+        |<a title="a > b" href="/one">x</a>
+        |<div data-href="/NOT">y</div>
+        |<a href=/bare>z</a>
+        |<A HREF='/two'>w</A>
+        |<a name="n">no link</a>
+        |<a href="/one">dup</a>
+        |</body></html>""".stripMargin
+    assert(links(html) == Seq("/one", "/bare", "/two", "/one"))
+    // binary payloads decode utf-8 through the same function
+    val bin = Seq(("<a href=\"/ب\">x</a>".getBytes("UTF-8"))).toDF("h")
+      .select(call_function("graft_outlinks", col("h")))
+      .collect().head.getSeq[String](0)
+    assert(bin == Seq("/ب"))
+    assert(links("<p>no anchors</p>") == Seq())
+  }
+
+  test("integer pagerank: sinks accumulate, determinism, driver recompute") {
+    import spark.implicits._
+    import graft.ops.Graph
+    // a→c, b→c, c→a: c collects two contributions, and every number
+    // must equal a driver-side recompute of the same fixed-point rule
+    val edges = Seq(("a", "c"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val got = Graph.pageRank(edges, "src", "dst", iters = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val scale = 1L << 20
+    val nodes = Seq("a", "b", "c")
+    val outdeg = Map("a" -> 1L, "b" -> 1L, "c" -> 1L)
+    val base = (15L * scale) / (100L * 3)
+    var ranks = nodes.map(_ -> scale / 3).toMap
+    (1 to 3).foreach { _ =>
+      val contrib = Seq(("a", "c"), ("b", "c"), ("c", "a"))
+        .groupBy(_._2).map { case (dst, es) =>
+          dst -> es.map { case (s, _) => (85L * ranks(s)) / (100L * outdeg(s)) }.sum
+        }
+      ranks = nodes.map(h => h -> (base + contrib.getOrElse(h, 0L))).toMap
+    }
+    assert(got == ranks, s"got $got want $ranks")
+    assert(got("c") > got("b"), "the doubly-linked node must rank higher")
+    // rerun → identical (integer arithmetic, no float order sensitivity)
+    val again = Graph.pageRank(edges, "src", "dst", iters = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == got)
+  }
+
   test("deduped corpus: exactly the canonical + untouched docs survive") {
     val d6 = OpsQueries.all("d6_dup_clusters")(spark, sf).collect()
     val losers = d6.filter(r => r.getAs[Long]("canon_id") != r.getAs[Long]("doc_id"))
