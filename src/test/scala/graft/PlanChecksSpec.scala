@@ -61,8 +61,10 @@ class PlanChecksSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "the corpus must stream against a broadcast")
   }
 
-  test("scrub ops (t6/t7/u1/t8) are row-local: no join/window, only the sort exchange") {
-    Seq("t6_redact", "t7_nfc", "u1_url_canon", "t8_split").foreach { q =>
+  test("scrub ops (t6/t7/u1/t8/x13) are row-local: no join/window, only the sort exchange") {
+    // x13 rides along: outlink explode is a Generate over the scan,
+    // never a join
+    Seq("t6_redact", "t7_nfc", "u1_url_canon", "t8_split", "x13_outlinks").foreach { q =>
       val p = plan(q)
       val exchanges = "Exchange".r.findAllIn(p).size
       assert(exchanges <= 1, s"$q must shuffle at most once (final sort):\n${p.take(900)}")
