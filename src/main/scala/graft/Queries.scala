@@ -199,9 +199,12 @@ object Queries {
       // the roundtrip prediction no longer leans on the probed "testdata
       // text is already normalized" property — extraction's own per-line
       // normalization is identity on the pre-normalized body either way
+      // EXPLICIT whitespace class, identical to the oracle's: Java \s
+      // includes U+000B where RE2's \s does not, so neither side may
+      // say \s (CLAUDE.md r4 coupling note)
       val pdf = call_function("graft_make_pdf",
         concat(lit("Doc "), col("doc_id"), lit(" (x) \\ ok")),
-        trim(regexp_replace(col("text"), "[\\s\\u00A0]+", " ")),
+        trim(regexp_replace(col("text"), "[ \\t\\n\\f\\r\\u000B\\u00A0]+", " ")),
         concat(lit("Page two of "), col("doc_id")))
       val payload = when(col("doc_id") % 10 === 0,
           lit("%PDF-1.4\nan empty pdf body here\n%%EOF\n".getBytes("UTF-8")))
@@ -239,8 +242,17 @@ object Queries {
     // container format. lang rides the HTTP Content-Language header.
     "x12_warc_roundtrip" -> ((s, dir) => {
       GraftSession.register(s)
-      val stage = new java.io.File(
-        s"/tmp/graft-warc-${Integer.toHexString(dir.hashCode)}")
+      // stage dir keyed by the INPUT's content fingerprint (path +
+      // size + mtime), not the path alone: a regenerated fixture at
+      // the same path gets fresh shards instead of silently reusing
+      // stale ones. Shard contents are deterministic functions of the
+      // input, so concurrent stagers converge on identical bytes; each
+      // file is still written tmp-then-rename for atomicity.
+      val docsFile = new java.io.File(dir, "documents.parquet")
+      val key = java.lang.Long.toHexString(graft.expr.Hash64.mix(
+        dir.hashCode.toLong ^ (docsFile.length() * 1000003L) ^
+          docsFile.lastModified()))
+      val stage = new java.io.File(s"/tmp/graft-warc-$key")
       if (!new java.io.File(stage, "_SUCCESS").exists()) {
         stage.mkdirs()
         val html = concat(
@@ -256,7 +268,8 @@ object Queries {
           .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
             val pid = org.apache.spark.TaskContext.getPartitionId()
             val f = new java.io.File(stage, f"part-$pid%05d.warc.gz")
-            val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(f))
+            val tmp = new java.io.File(stage, f.getName + ".tmp")
+            val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(tmp))
             out.write(graft.warc.Warc.gzipMember(
               graft.warc.Warc.warcinfo(f.getName, "2024-01-01T00:00:00Z")))
             it.foreach { r =>
@@ -266,6 +279,7 @@ object Queries {
                 r.getString(2), r.getAs[Array[Byte]](1))))
             }
             out.close()
+            if (!tmp.renameTo(f)) { tmp.delete(); () }
           }
         new java.io.FileOutputStream(new java.io.File(stage, "_SUCCESS")).close()
       }
@@ -748,7 +762,7 @@ object Queries {
     "x10_pdf_roundtrip" ->
       """WITH d AS (
         | SELECT doc_id,
-        |        trim(regexp_replace(text, '[\s\x{A0}]+', ' ', 'g')) AS text
+        |        trim(regexp_replace(text, '[ \t\n\f\r\x{0B}\x{A0}]+', ' ', 'g')) AS text
         | FROM documents)
         |SELECT d.doc_id,
         | CASE WHEN d.doc_id % 10 = 0 THEN NULL

@@ -124,18 +124,15 @@ case class MinHashSig(child: Expression, k: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** `graft_shingles(text) -> ARRAY<STRING>` — distinct word 3-gram
-  * shingles in one pass (the built-in `transform(sequence…, slice…)`
-  * formulation is O(words²) per document; this is O(chars)). Exact
-  * same output set as Dedup.shinglesBuiltin — asserted in OpsSpec. */
-case class Shingles(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-  override def prettyName: String = "graft_shingles"
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def nullSafeEval(v: Any): Any = {
-    val s = v.asInstanceOf[UTF8String].toString
+/** The SINGLE word-boundary scan shared by [[Shingles]] and
+  * [[TokenWindowHashes]]: one definition of "a token" (whitespace =
+  * `BlockSegmenter.isWs`, Java whitespace + NBSP) for similarity
+  * shingles and exact-substring windows alike — the same
+  * one-implementation discipline as FusedSegmenter/classifyCore. */
+private[expr] object WordBounds {
+  /** (starts, ends) index pairs of each token in `s`, single pass. */
+  def scan(s: String): (Array[Int], Array[Int]) = {
     val n = s.length
-    // collect word boundaries (single pass)
     val starts = new scala.collection.mutable.ArrayBuffer[Int](64)
     val ends = new scala.collection.mutable.ArrayBuffer[Int](64)
     var i = 0
@@ -147,6 +144,21 @@ case class Shingles(child: Expression)
         ends += i
       }
     }
+    (starts.toArray, ends.toArray)
+  }
+}
+
+/** `graft_shingles(text) -> ARRAY<STRING>` — distinct word 3-gram
+  * shingles in one pass (the built-in `transform(sequence…, slice…)`
+  * formulation is O(words²) per document; this is O(chars)). Exact
+  * same output set as Dedup.shinglesBuiltin — asserted in OpsSpec. */
+case class Shingles(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "graft_shingles"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    val (starts, ends) = WordBounds.scan(s)
     val w = starts.length
     if (w < 3) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[UTF8String]()
@@ -186,18 +198,7 @@ case class TokenWindowHashes(child: Expression, k: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(v: Any): Any = {
     val s = v.asInstanceOf[UTF8String].toString
-    val n = s.length
-    val starts = new scala.collection.mutable.ArrayBuffer[Int](64)
-    val ends = new scala.collection.mutable.ArrayBuffer[Int](64)
-    var i = 0
-    while (i < n) {
-      while (i < n && graft.html.BlockSegmenter.isWs(s.charAt(i))) i += 1
-      if (i < n) {
-        starts += i
-        while (i < n && !graft.html.BlockSegmenter.isWs(s.charAt(i))) i += 1
-        ends += i
-      }
-    }
+    val (starts, ends) = WordBounds.scan(s)
     val w = starts.length
     if (w < k) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](w - k + 1)

@@ -112,11 +112,11 @@ object AsOfJoin {
     * same-instant dims must be pre-deduped (as in latestBefore);
     * pick `bucketWidth` so a key's span is thousands of buckets, not
     * millions (the dense carry materializes one row per key×bucket).
-    * That choice is ENFORCED, not prose: the bounds pass computes the
-    * worst key's bucket count and fails fast above `maxBucketsPerKey`
-    * (default 100k) with the fix named, instead of silently exploding
-    * the dense carry to millions of rows per key. The guard costs one
-    * small aggregate job over the already-aggregated bounds frame.
+    * That choice is ENFORCED, not prose: an in-plan guard raises (with
+    * the fix named) for any key whose span exceeds `maxBucketsPerKey`
+    * buckets (default 100k), before that key's dense carry explodes to
+    * millions of rows. In-plan means zero extra Spark jobs — the check
+    * rides the bounds aggregate the join computes anyway.
     */
   /** tsToLong for timestamp columns: epoch seconds (pair with a
     * bucketWidth in seconds). The default `cast("long")` covers
@@ -148,16 +148,20 @@ object AsOfJoin {
     val bounds = perBucket.select(col(key), col("__b"))
       .unionByName(factB.select(col(key), col("__b")))
       .groupBy(col(key)).agg(min(col("__b")).as("__b0"), max(col("__b")).as("__b1"))
-    // width guard: fail fast on a mischosen bucketWidth before the
-    // dense explode materializes span/bucketWidth rows for every key
-    val worstRow = bounds.agg(max(col("__b1") - col("__b0") + 1)).head()
-    val worst = if (worstRow.isNullAt(0)) 0L else worstRow.getLong(0)
-    require(worst <= maxBucketsPerKey,
-      s"latestBeforeBucketed: bucketWidth=$bucketWidth densifies up to " +
-        s"$worst buckets for a single key's time span (cap " +
-        s"$maxBucketsPerKey) — widen bucketWidth to ~span/1000 or raise " +
-        "maxBucketsPerKey explicitly")
-    val dense = bounds.select(col(key),
+    // width guard, IN-PLAN: a key whose span would densify more than
+    // maxBucketsPerKey buckets raises before its dense explode runs.
+    // Evaluated lazily with the query itself — zero extra jobs and no
+    // recomputation of the bounds subtree (an eager .head() here would
+    // scan fact+dim once at construction and again at execution).
+    val width = col("__b1") - col("__b0") + lit(1L)
+    val guarded = bounds.withColumn("__b1",
+      when(width <= maxBucketsPerKey, col("__b1")).otherwise(raise_error(concat(
+        lit(s"latestBeforeBucketed: bucketWidth=$bucketWidth densifies "),
+        width.cast("string"),
+        lit(s" buckets for a single key's time span (cap $maxBucketsPerKey)" +
+          " — widen bucketWidth to ~span/1000 or raise maxBucketsPerKey" +
+          " explicitly")))))
+    val dense = guarded.select(col(key),
       explode(sequence(col("__b0"), col("__b1"))).as("__b"))
     val carryW = Window.partitionBy(col(key)).orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, 0)

@@ -118,16 +118,21 @@ object Dedup {
     * "what's missing" #3): the eval shingle set is counted first, and
     * above `maxEvalShingles` the plan falls back to a plain shuffle
     * equi-join — same rows, bounded memory — instead of letting an
-    * oversized eval set OOM the driver. The count materializes the
-    * persisted shingle set the join then reuses, so the guard costs
-    * one small job, not a recompute. */
+    * oversized eval set OOM the driver. The guard costs one small
+    * count job over the (bounded) eval side; the join recomputes that
+    * aggregation once — a cache would save it but leak a persisted
+    * dataset per call. */
   def decontaminate(corpus: DataFrame, evalSet: DataFrame,
                     idCol: String, textCol: String, minOverlap: Int,
                     maxEvalShingles: Long = 5000000L): DataFrame = {
     val evalSh = evalSet
       .select(explode(shingles(col(textCol))).as("shingle")).distinct()
-      .persist()
-    // the merge hint on the fallback keeps the static planner's own
+    // deliberately NOT persisted: the join recomputes the (bounded,
+    // cheap) eval-side aggregation once rather than leaking one cached
+    // dataset per invocation for the session lifetime. The count is
+    // the guard's price and is inherently eager — the plan choice
+    // below depends on it.
+    // The merge hint on the fallback keeps the static planner's own
     // stats-based auto-broadcast from resurrecting the driver-side
     // collect the guard just ruled out (AQE may still build a runtime
     // broadcast if the ACTUAL size proves tiny — that is safe)

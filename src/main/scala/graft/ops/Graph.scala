@@ -28,10 +28,16 @@ object Graph {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 3, scale: Long = 1L << 20): DataFrame = {
     require(iters >= 1 && scale > 0)
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // persist the loop-invariant frames: every iteration's plan would
+    // otherwise re-embed (and re-execute) the edge scan, the
+    // union+distinct node shuffle, and the outdeg aggregate — the same
+    // iterative-Spark discipline connectedComponents applies. nodes is
+    // materialized by the count below; the caller owns session-level
+    // cache hygiene for this terminal op (blocks age out via LRU).
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).persist()
     val nodes = e.select(col("src").as("host"))
-      .union(e.select(col("dst").as("host"))).distinct()
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("odeg"))
+      .union(e.select(col("dst").as("host"))).distinct().persist()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("odeg")).persist()
     val n = nodes.count() // one small agg job, like IVF's k×partitions
     require(n > 0, "pageRank: empty graph")
     val base = (15L * scale) / (100L * n)

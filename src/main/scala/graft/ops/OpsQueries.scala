@@ -339,8 +339,9 @@ object OpsQueries {
     // miss.
     "t10_rare_tokens" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      // explicit ws class == the oracle's (Java \s ⊃ RE2 \s: U+000B)
       val toks = docs.select(col("doc_id"),
-        explode(split(trim(col("text")), "\\s+")).as("tok"))
+        explode(split(trim(col("text")), "[ \\t\\n\\f\\r\\u000B]+")).as("tok"))
       val dfreq = toks.groupBy("tok")
         .agg(countDistinct(col("doc_id")).as("df"))
       toks.join(dfreq, "tok")
@@ -953,7 +954,8 @@ object OpsQueries {
         |FROM inp ORDER BY doc_id""".stripMargin,
     "t10_rare_tokens" ->
       """WITH toks AS (
-        | SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        | SELECT doc_id,
+        |        unnest(string_split_regex(trim(text), '[ \t\n\f\r\x{0B}]+')) AS tok
         | FROM documents),
         |dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok)
         |SELECT doc_id, COUNT(*) AS n_tokens,

@@ -32,18 +32,21 @@ object ExtractPipeline {
   }
 
   /** The recognize stage: one single-pass expression evaluation per
-    * row → (url, text, spans, lang, error). No shuffle — extraction is
-    * row-local (1 row = 1 document), so this scales linearly with
-    * executors at any data size. */
-  def extracted(pages: DataFrame): DataFrame =
+    * row → (url, [passthrough…], text, spans, lang, error). No
+    * shuffle — extraction is row-local (1 row = 1 document), so this
+    * scales linearly with executors at any data size. `passthrough`
+    * names input columns to carry alongside (e.g. warc_ts for the
+    * streaming table's time stats) — ONE projection definition for
+    * every caller instead of per-caller re-inlines. */
+  def extracted(pages: DataFrame, passthrough: Seq[String] = Nil): DataFrame =
     pages
       .withColumn("r", call_function("graft_extract", col("html"), col("lang")))
       .select(
-        col("url"),
-        col("r.text").as("text"),
-        col("r.spans").as("spans"),
-        col("lang"),
-        col("r.error").as("error"))
+        Seq(col("url")) ++ passthrough.map(col) ++ Seq(
+          col("r.text").as("text"),
+          col("r.spans").as("spans"),
+          col("lang"),
+          col("r.error").as("error")): _*)
 
   /** Ingest WARC shards (the Common-Crawl container, graft.warc.Warc)
     * straight into the recognize stage: one binaryFile task per shard,

@@ -60,10 +60,7 @@ object StreamingExtract {
       .schema("url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING")
       .parquet(pagesDir)
     // carry warc_ts through extraction: it keys the manifest time stats
-    pages
-      .withColumn("r", call_function("graft_extract", col("html"), col("lang")))
-      .select(col("url"), col("warc_ts"), col("r.text").as("text"),
-        col("r.spans").as("spans"), col("lang"), col("r.error").as("error"))
+    ExtractPipeline.extracted(pages, passthrough = Seq("warc_ts"))
       .writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)

@@ -106,7 +106,15 @@ final class IceTable(val root: String, spark: SparkSession) {
         case _ => true // no stats recorded — must scan
       }
     }
-    if (keep.isEmpty) return spark.emptyDataFrame
+    if (keep.isEmpty) {
+      // schema-correct empty result: the contract is exact equality
+      // with read().filter(...), so downstream column references must
+      // still resolve. limit(0) folds to an empty LocalRelation at
+      // planning — no data file is read.
+      if (snap.files.isEmpty) return spark.emptyDataFrame
+      val all = assemble(snap, snap.files)
+      return all.filter(statLong(all, statsCol).between(lo, hi)).limit(0)
+    }
     val df = assemble(snap, keep)
     df.filter(statLong(df, statsCol).between(lo, hi))
   }
@@ -123,7 +131,12 @@ final class IceTable(val root: String, spark: SparkSession) {
       s"readIncremental: from $fromSnapshot > to $toSnapshot")
     val to = readSnapshot(toSnapshot)
     val seen = readSnapshot(fromSnapshot).files.map(_.path).toSet
-    assemble(to, to.files.filterNot(f => seen.contains(f.path)))
+    val delta = to.files.filterNot(f => seen.contains(f.path))
+    // empty delta must still carry the table schema (downstream
+    // pipelines select columns from it); limit(0) reads no data
+    if (delta.isEmpty && to.files.nonEmpty)
+      return assemble(to, to.files).limit(0)
+    assemble(to, delta)
   }
 
   /** Roll the table back to an earlier snapshot's state by committing

@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
   *
   * Reader shape at 100 TB: one WARC file is one `binaryFile` row
   * (Common Crawl shards at ~1 GB/file, the standard Spark WARC
-  * discipline — per-task memory is bounded by shard size, records
-  * stream out of the buffer without a second copy), `flatMap` parses
+  * discipline — per-task memory is bounded by the COMPRESSED shard
+  * plus the largest single record: decompression streams record by
+  * record, never materializing the inflated file), `flatMap` parses
   * records, and a malformed FILE becomes one error row (error-as-row,
   * never a task failure) while well-formed files yield one row per
   * `response` record: (url, warc_ts, html, lang, error). Record
@@ -87,43 +88,72 @@ object Warc {
     * header or truncated body throws — the Spark read path turns that
     * into one error row per file. */
   def parse(fileBytes: Array[Byte]): Seq[WarcRow] = {
-    val bytes =
+    val raw: java.io.InputStream = new java.io.ByteArrayInputStream(fileBytes)
+    val in =
       if (isGzip(fileBytes))
-        new java.util.zip.GZIPInputStream(
-          new java.io.ByteArrayInputStream(fileBytes)).readAllBytes()
-      else fileBytes
+        new java.util.zip.GZIPInputStream(raw, 64 * 1024)
+      else raw
+    parseStream(in)
+  }
+
+  private val MaxHeaderBytes = 1 << 20 // spec headers are tiny; 1MB = malformed
+
+  /** STREAMING record walk: the header is read byte-wise to its
+    * CRLFCRLF terminator, then exactly Content-Length body bytes —
+    * per-task memory is bounded by the LARGEST RECORD (one web page),
+    * never the decompressed FILE. A 1 GB Common-Crawl shard that
+    * inflates past 2 GB parses fine; materializing it whole (the
+    * obvious readAllBytes) would hit the JVM array cap with an
+    * uncatchable OutOfMemoryError and kill the task instead of
+    * error-as-rowing. Individual records are bounded at 2 GB by the
+    * Int body allocation — far beyond any single crawled page. */
+  def parseStream(in0: java.io.InputStream): Seq[WarcRow] = {
+    val in = new java.io.BufferedInputStream(in0, 64 * 1024)
     val out = scala.collection.mutable.ArrayBuffer.empty[WarcRow]
-    var off = 0
-    while (off < bytes.length) {
-      // skip inter-record CRLFs
-      while (off < bytes.length &&
-        (bytes(off) == '\r' || bytes(off) == '\n')) off += 1
-      if (off >= bytes.length) return out.toSeq
-      val headerEnd = indexOfCrlfCrlf(bytes, off)
-      require(headerEnd > 0, s"warc: unterminated record header at $off")
-      val header = new String(bytes, off, headerEnd - off, "US-ASCII")
+    var recNo = 0
+    while (true) {
+      // skip inter-record CRLFs; clean EOF here ends the file
+      var b = in.read()
+      while (b == '\r' || b == '\n') b = in.read()
+      if (b < 0) return out.toSeq
+      // header: bytes up to \r\n\r\n
+      val hdr = new java.io.ByteArrayOutputStream(512)
+      hdr.write(b)
+      var run = 0 // matched suffix length of \r\n\r\n
+      while (run < 4) {
+        val c = in.read()
+        require(c >= 0, s"warc: unterminated record header (record $recNo)")
+        require(hdr.size < MaxHeaderBytes, s"warc: runaway header (record $recNo)")
+        hdr.write(c)
+        run =
+          if (c == '\r') { if (run == 0 || run == 2) run + 1 else 1 }
+          else if (c == '\n' && (run == 1 || run == 3)) run + 1
+          else 0
+      }
+      val header = hdr.toString("US-ASCII").stripSuffix("\r\n\r\n")
       val lines = header.split("\r\n")
-      require(lines.head.startsWith("WARC/"), s"warc: bad version line at $off")
+      require(lines.head.startsWith("WARC/"), s"warc: bad version line (record $recNo)")
       val fields = lines.tail.flatMap { l =>
         val i = l.indexOf(':')
         if (i < 0) None else Some(l.substring(0, i).trim.toLowerCase ->
           l.substring(i + 1).trim)
       }.toMap
       val len = fields.getOrElse("content-length",
-        throw new IllegalArgumentException(s"warc: missing Content-Length at $off")).toInt
-      val bodyStart = headerEnd + 4
-      require(len >= 0 && bodyStart + len <= bytes.length,
-        s"warc: truncated record body at $off")
+        throw new IllegalArgumentException(
+          s"warc: missing Content-Length (record $recNo)")).toInt
+      require(len >= 0, s"warc: negative Content-Length (record $recNo)")
+      val body = in.readNBytes(len)
+      require(body.length == len, s"warc: truncated record body (record $recNo)")
       if (fields.get("warc-type").contains("response")) {
         val url = fields.getOrElse("warc-target-uri", null)
         val ts = fields.get("warc-date")
           .map(d => java.sql.Timestamp.from(java.time.Instant.parse(d))).orNull
-        val (html, lang) = stripHttp(bytes, bodyStart, len)
+        val (html, lang) = stripHttp(body, 0, body.length)
         out += WarcRow(url, ts, html, lang, null)
       }
-      off = bodyStart + len
+      recNo += 1
     }
-    out.toSeq
+    out.toSeq // unreachable
   }
 
   /** Strip the HTTP response envelope from a record body, returning

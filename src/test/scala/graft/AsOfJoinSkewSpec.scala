@@ -64,12 +64,17 @@ class AsOfJoinSkewSpec extends AnyFunSuite {
     val facts = Seq.tabulate(100)(i => (i.toLong, 1L, i * 1010L))
       .toDF("event_id", "user_id", "ts")
     val dims = Seq((1L, 0L, 42L)).toDF("user_id", "dim_ts", "value")
-    val e = intercept[IllegalArgumentException] {
+    // the guard is IN-PLAN (raise_error): it fires on execution, named
+    // message somewhere in the task-failure cause chain
+    val e = intercept[Throwable] {
       graft.ops.AsOfJoin.latestBeforeBucketed(
         facts, dims, "user_id", "ts", "dim_ts", Seq("value"),
         bucketWidth = 7L, maxBucketsPerKey = 1000L).collect()
     }
-    assert(e.getMessage.contains("widen bucketWidth"), e.getMessage)
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("widen bucketWidth")), chain(e).mkString(" | "))
     // a width respecting the same cap runs and stays correct
     val ok = graft.ops.AsOfJoin.latestBeforeBucketed(
         facts, dims, "user_id", "ts", "dim_ts", Seq("value"),

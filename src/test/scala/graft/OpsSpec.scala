@@ -559,7 +559,7 @@ class OpsSpec extends AnyFunSuite {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect()
       .map(r => r.getAs[Long]("doc_id") ->
-        r.getAs[String]("text").trim.split("\\s+").toSeq)
+        r.getAs[String]("text").trim.split("[ \\t\\n\\f\\r\\u000B]+").toSeq)
     val df = docs.flatMap { case (id, ts) => ts.distinct.map(_ -> id) }
       .groupBy(_._1).map { case (t, xs) => t -> xs.length }
     docs.foreach { case (id, ts) =>
