@@ -406,7 +406,11 @@ object Queries {
       t(s, dir, "documents")
         .select(
           col("doc_id"),
-          length(trim(regexp_replace(col("text"), "(?m)^\\s*(>>>|\\.\\.\\.)\\s?", ""))).as("clean_len"),
+          // explicit ws class == Java \s expansion, mirrored verbatim in
+          // the oracle (never \s in a dual-engine regex — CLAUDE.md)
+          length(trim(regexp_replace(col("text"),
+            "(?m)^[ \\t\\n\\f\\r\\u000B]*(>>>|\\.\\.\\.)[ \\t\\n\\f\\r\\u000B]?", "")))
+            .as("clean_len"),
           format_string("doc-%05d/%s", col("doc_id"), col("lang")).as("tag"))
         .orderBy("doc_id")
     }),
@@ -612,7 +616,7 @@ object Queries {
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     "q11_string_funcs" ->
       """SELECT doc_id,
-        | LENGTH(TRIM(REGEXP_REPLACE(text, '(?m)^\s*(>>>|\.\.\.)\s?', '', 'g'))) AS clean_len,
+        | LENGTH(TRIM(REGEXP_REPLACE(text, '(?m)^[ \t\n\f\r\x{0B}]*(>>>|\.\.\.)[ \t\n\f\r\x{0B}]?', '', 'g'))) AS clean_len,
         | printf('doc-%05d/%s', doc_id, lang) AS tag
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q13_antijoin" ->

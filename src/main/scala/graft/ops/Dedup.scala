@@ -28,7 +28,8 @@ object Dedup {
     * (`slice` per index); kept as the equality oracle for the
     * expression (OpsSpec) and for sessions without graft functions. */
   def shinglesBuiltin(textCol: Column): Column = {
-    val words = split(trim(textCol), "\\s+")
+    // explicit class == Java \s expansion (never \s itself; CLAUDE.md)
+    val words = split(trim(textCol), "[ \\t\\n\\f\\r\\u000B]+")
     array_distinct(
       when(size(words) >= 3,
         transform(sequence(lit(0), size(words) - 3),

@@ -96,10 +96,15 @@ object OpsQueries {
     // k-token-window stats. Contamination is planted: every 11th doc
     // re-appears under doc_id+300000 behind a 6-token fresh prefix, so
     // the copy is NOT an exact doc duplicate but nearly all its
-    // windows duplicate the original's.
+    // windows duplicate the original's. Text is normalized with the
+    // x10 EXPLICIT whitespace class on both sides (never \s — Java vs
+    // RE2 divergence, CLAUDE.md) so TokenWindowHashes' isWs tokenizer
+    // and the oracle's space split agree by construction.
     "d8_substring_dup" -> ((s, dir) => {
       GraftSession.register(s)
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        trim(regexp_replace(col("text"), "[ \\t\\n\\f\\r\\u000B\\u00A0]+", " "))
+          .as("text"))
       val corpus = docs.unionAll(docs.filter(col("doc_id") % 11 === 0)
         .select((col("doc_id") + 300000).as("doc_id"),
           concat(lit("fresh prefix words precede the spliced tail "), col("text"))
@@ -191,12 +196,17 @@ object OpsQueries {
         .withColumn("stop_ratio", round(col("stop_ratio"), 6))
         .orderBy("doc_id")
     }),
-    // token counting: whitespace + BPE-ish regex segmentation (oracle)
+    // token counting: whitespace + BPE-ish regex segmentation (oracle).
+    // EXPLICIT whitespace class on both sides ([ \t\n\f\r] — the
+    // exact expansion of Java \s, so this is bit-identical to the old
+    // \s+ engine regex; never \s itself in a dual-engine regex, whose
+    // Java and RE2 meanings differ — CLAUDE.md)
     "t3_tokens" -> ((s, dir) => {
       t(s, dir, "documents").select(
         col("doc_id"),
-        size(split(trim(col("text")), "\\s+")).as("ws_tokens"),
-        size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)"))
+        size(split(trim(col("text")), "[ \\t\\n\\f\\r\\u000B]+")).as("ws_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\f\\r\\u000B]"), lit(0)))
           .as("bpeish_tokens"))
         .orderBy("doc_id")
     }),
@@ -237,7 +247,8 @@ object OpsQueries {
     "t5_repetition" -> ((s, dir) => {
       GraftSession.register(s)
       val sh = Dedup.shingles(col("text"))
-      val words = split(trim(col("text")), "\\s+")
+      // explicit class == Java \s expansion (never \s itself; CLAUDE.md)
+      val words = split(trim(col("text")), "[ \\t\\n\\f\\r\\u000B]+")
       val shAll = when(size(words) >= 3,
         transform(sequence(lit(0), size(words) - 3),
           i => concat_ws(" ", slice(words, i + 1, lit(3))))).otherwise(array())
@@ -479,16 +490,28 @@ object OpsQueries {
     * positional 8-token window hashed with the SAME FNV-1a the engine
     * uses (fnvWordSql over the space-joined window string — bit-exact
     * vs TokenWindowHashes' virtual-string hashing), first occurrence
-    * per window hash ranked by (doc_id, pos), rest counted as dups. */
+    * per window hash ranked by (doc_id, pos), rest counted as dups.
+    * Text is normalized IN-QUERY on both sides with the x10 explicit
+    * whitespace class (space tab nl ff cr \\x0B \\xA0 — never `\\s`,
+    * whose Java and RE2 meanings differ; CLAUDE.md), so the engine's
+    * isWs tokenizer and this space-split agree by construction. */
+  /** The x10 explicit whitespace class, DuckDB-regex form (raw string:
+    * no interpolator escape processing, `\x{0B}` stays literal). */
+  private val wsClassSql = """[ \t\n\f\r\x{0B}\x{A0}]+"""
+
   private lazy val d8OracleSql: String =
-    s"""WITH corpus AS (
-       | SELECT doc_id, text FROM documents
+    s"""WITH norm AS (
+       | SELECT doc_id,
+       |        trim(regexp_replace(text, '$wsClassSql', ' ', 'g')) AS text
+       | FROM documents),
+       |corpus AS (
+       | SELECT doc_id, text FROM norm
        | UNION ALL
        | SELECT doc_id + 300000 AS doc_id,
        |        'fresh prefix words precede the spliced tail ' || text AS text
-       | FROM documents WHERE doc_id % 11 = 0),
+       | FROM norm WHERE doc_id % 11 = 0),
        |base AS (
-       | SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM corpus),
+       | SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
        |wins AS (
        | SELECT doc_id, i - 1 AS pos, $fnvWordSql AS whash
        | FROM (SELECT doc_id, unnest(range(1, len(t) - 6)) AS i, t
@@ -499,7 +522,7 @@ object OpsQueries {
        |        row_number() OVER (PARTITION BY whash ORDER BY doc_id, pos) AS rn
        | FROM wins)
        |SELECT doc_id, COUNT(*) AS n_windows,
-       |       SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_dup_windows,
+       |       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
        |       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
        |         AS dup_ratio
        |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin
@@ -511,12 +534,15 @@ object OpsQueries {
   private lazy val g1OracleSql: String = {
     def round(i: Int, prev: String): String =
       s"""c$i AS (
-         | SELECT e.dst AS host, SUM((85 * r.rank) // (100 * o.odeg)) AS contrib
+         | SELECT e.dst AS host,
+         |        CAST(SUM((85 * r.rank) // (100 * o.odeg)) AS BIGINT) AS contrib
          | FROM edges e JOIN $prev r ON r.host = e.src
          |              JOIN outdeg o ON o.src = e.src
          | GROUP BY e.dst),
          |r$i AS (
-         | SELECT nd.host, (15 * 1048576) // (100 * p.n) + COALESCE(c.contrib, 0) AS rank
+         | SELECT nd.host,
+         |        CAST((15 * 1048576) // (100 * p.n) + COALESCE(c.contrib, 0)
+         |             AS BIGINT) AS rank
          | FROM nodes nd CROSS JOIN p LEFT JOIN c$i c ON c.host = nd.host)"""
         .stripMargin
     s"""WITH edges AS (
@@ -643,13 +669,13 @@ object OpsQueries {
     s"""WITH $wordHashCtes,
        |votes AS (
        | SELECT doc_id, j,
-       |  SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+       |  CAST(SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS acc
        | FROM words, (SELECT unnest(range(0, 64)) AS j) bits
        | GROUP BY doc_id, j),
        |fp AS (
        | SELECT doc_id,
-       |  SUM(CASE WHEN acc > 0 THEN (1::UBIGINT << CAST(j AS INT))::HUGEINT
-       |           ELSE 0::HUGEINT END) AS fpu
+       |  CAST(SUM(CASE WHEN acc > 0 THEN (1::UBIGINT << CAST(j AS INT))::HUGEINT
+       |           ELSE 0::HUGEINT END) AS HUGEINT) AS fpu
        | FROM votes GROUP BY doc_id),
        |chunked AS (
        | SELECT doc_id, fpu, ci, (CAST(fpu AS UBIGINT) >> (ci * 16)) & 65535 AS cv
@@ -734,7 +760,8 @@ object OpsQueries {
     def recenterCtes(asg: String, prev: String, out: String): String =
       s"""${out}_s AS (
          | SELECT a.cluster AS cl, i, COUNT(*) AS n,
-         |  SUM(CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) AS s
+         |  CAST(SUM(CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1048576.0 + 0.5)
+         |           AS BIGINT)) AS BIGINT) AS s
          | FROM embeddings e JOIN $asg a USING (vec_id),
          |      (SELECT unnest(range(1, ${dim + 1})) AS i) dims
          | GROUP BY a.cluster, i),
@@ -865,8 +892,8 @@ object OpsQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "t3_tokens" ->
       """SELECT doc_id,
-        | len(regexp_split_to_array(TRIM(text), '\s+')) AS ws_tokens,
-        | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpeish_tokens
+        | len(regexp_split_to_array(TRIM(text), '[ \t\n\f\r\x{0B}]+')) AS ws_tokens,
+        | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r\x{0B}]')) AS bpeish_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     // exact mirror of ngramJaccardPairs(dfCap=50): jaccard over the
     // NON-STOP (df ≤ 50) distinct-shingle sets
@@ -959,7 +986,7 @@ object OpsQueries {
         | FROM documents),
         |dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok)
         |SELECT doc_id, COUNT(*) AS n_tokens,
-        |       SUM(CASE WHEN df <= 2 THEN 1 ELSE 0 END) AS n_rare,
+        |       CAST(SUM(CASE WHEN df <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
         |       CAST(SUM(CASE WHEN df <= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
         |         AS rare_ratio
         |FROM toks JOIN dfreq USING (tok)
