@@ -339,26 +339,39 @@ object OpsQueries {
       Graph.pageRank(edges, "src", "dst", iters = 3).orderBy("host")
     }),
     // corpus-statistics quality signal: rare-token ratio. Unlike t2's
-    // row-local heuristics this is a TWO-PASS op — pass 1 builds the
-    // vocabulary document-frequency table (groupBy token, partial-agg
-    // combined), pass 2 joins every token occurrence back against it
-    // (shuffle keyed by token — the inverted-index shape; the DF table
-    // is orders smaller than the corpus and 1 row per key, so the join
-    // output is linear in occurrences). Docs whose tokens are mostly
-    // corpus-rare are OCR garbage / lorem noise / non-language — the
-    // standard web-corpus noisiness filter that fixed stopword lists
-    // miss.
+    // row-local heuristics this is a TWO-PASS op. De-skewed shape
+    // (VERDICT r4 #3 — the old plan joined every occurrence against
+    // the full vocabulary DF table keyed by raw token, funneling
+    // every "the"-class occurrence through one reducer at scale):
+    //  1. pre-aggregate to (doc_id, tok, cnt) — combiner-friendly,
+    //     keys are (doc,tok) so no hot key exists;
+    //  2. n_tokens is a plain per-doc sum — no join at all;
+    //  3. the DF table is built from the pre-agg (one row per
+    //     (doc,tok), so df is count(*), and hot tokens reach the
+    //     reducer as ≤1 partial row per map partition) and FILTERED
+    //     to the rare sliver (df ≤ 2) BEFORE the join-back;
+    //  4. occurrences stream against the broadcast rare set — no
+    //     full-vocabulary shuffle, no hot-key reducer (plan-asserted
+    //     in PlanChecksSpec). At 10^12 docs the rare sliver is capped
+    //     the same way d2 caps stop shingles: it is the join's BUILD
+    //     side and never the streamed corpus.
+    // Docs whose tokens are mostly corpus-rare are OCR garbage /
+    // lorem noise / non-language — the standard web-corpus noisiness
+    // filter that fixed stopword lists miss.
     "t10_rare_tokens" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       // explicit ws class == the oracle's (Java \s ⊃ RE2 \s: U+000B)
       val toks = docs.select(col("doc_id"),
         explode(split(trim(col("text")), "[ \\t\\n\\f\\r\\u000B]+")).as("tok"))
-      val dfreq = toks.groupBy("tok")
-        .agg(countDistinct(col("doc_id")).as("df"))
-      toks.join(dfreq, "tok")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"),
-          sum(when(col("df") <= 2, 1L).otherwise(0L)).as("n_rare"))
+      val perDocTok = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      val nTok = perDocTok.groupBy("doc_id").agg(sum("cnt").as("n_tokens"))
+      val rare = perDocTok.groupBy("tok").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 2)
+      val nRare = perDocTok.join(broadcast(rare.select("tok")), "tok")
+        .groupBy("doc_id").agg(sum("cnt").as("n_rare"))
+      nTok.join(nRare, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_rare"), lit(0L)).as("n_rare"))
         .withColumn("rare_ratio",
           col("n_rare").cast("double") / col("n_tokens").cast("double"))
         .orderBy("doc_id")

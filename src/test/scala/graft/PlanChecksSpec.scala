@@ -55,6 +55,21 @@ class PlanChecksSpec extends AnyFunSuite {
     }
   }
 
+  test("t10 joins occurrences against the FILTERED rare sliver, broadcast") {
+    val p = plan("t10_rare_tokens")
+    // the join-back's build side must be the df<=2-filtered DF table,
+    // broadcast — never a full-vocabulary shuffle keyed by raw token
+    // (VERDICT r4 #3: hot stopword keys funnel through one reducer)
+    assert(p.contains("BroadcastHashJoin"), p.take(900))
+    assert("\\(df#\\d+L? <= 2\\)".r.findFirstIn(p).isDefined,
+      s"rare filter must sit below the join-back:\n${p.take(900)}")
+    // tok-keyed exchanges may carry only partial-agg rows (the DF
+    // build), never the occurrence stream: the occurrence side's only
+    // shuffles are keyed by (doc_id, tok) or doc_id
+    assert(!p.contains("SortMergeJoin"),
+      s"occurrences must stream against a broadcast, not sort-merge:\n${p.take(900)}")
+  }
+
   test("d7 broadcasts the bounded eval-set side, never sort-merges the corpus") {
     val p = plan("d7_decontaminate")
     assert(p.contains("BroadcastHashJoin"), p.take(800))
