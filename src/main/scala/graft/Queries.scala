@@ -254,7 +254,6 @@ object Queries {
           docsFile.lastModified()))
       val stage = new java.io.File(s"/tmp/graft-warc-$key")
       if (!new java.io.File(stage, "_SUCCESS").exists()) {
-        stage.mkdirs()
         val html = concat(
           lit("<html><head><title>t</title></head><body>" +
             "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a></nav><h1>Title "),
@@ -262,26 +261,14 @@ object Queries {
           lit("</h1><p>"), col("text"),
           lit("</p><footer>Copyright <a href=\"#\">here</a> <a href=\"#\">there</a></footer>" +
             "</body></html>"))
-        t(s, dir, "documents")
-          .select(col("doc_id"), encode(html, "UTF-8").as("html"), col("lang"))
-          .repartition(8, col("doc_id"))
-          .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-            val pid = org.apache.spark.TaskContext.getPartitionId()
-            val f = new java.io.File(stage, f"part-$pid%05d.warc.gz")
-            val tmp = new java.io.File(stage, f.getName + ".tmp")
-            val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(tmp))
-            out.write(graft.warc.Warc.gzipMember(
-              graft.warc.Warc.warcinfo(f.getName, "2024-01-01T00:00:00Z")))
-            it.foreach { r =>
-              val id = r.getLong(0)
-              out.write(graft.warc.Warc.gzipMember(graft.warc.Warc.record(
-                id, s"http://example.com/doc/$id", "2024-01-01T00:00:00Z",
-                r.getString(2), r.getAs[Array[Byte]](1))))
-            }
-            out.close()
-            if (!tmp.renameTo(f)) { tmp.delete(); () }
-          }
-        new java.io.FileOutputStream(new java.io.File(stage, "_SUCCESS")).close()
+        // Hadoop-FS staging (file: URI on local[N], shared FS on a
+        // cluster): attempt-unique tmp, rename-or-fail, _SUCCESS only
+        // after all shards verified — Warc.stageShards
+        graft.warc.Warc.stageShards(
+          t(s, dir, "documents")
+            .select(col("doc_id"), encode(html, "UTF-8").as("html"), col("lang")),
+          stage.toURI.toString, nShards = 8,
+          urlPrefix = "http://example.com/doc/", isoTs = "2024-01-01T00:00:00Z")
       }
       graft.warc.Warc.read(s, stage.getPath + "/*.warc.gz")
         .filter(col("error").isNull)

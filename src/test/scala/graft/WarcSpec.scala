@@ -58,6 +58,48 @@ class WarcSpec extends AnyFunSuite {
     assert(rows.head.html.sameElements(html))
   }
 
+  test("stageShards via file: URI — all shards + _SUCCESS, no tmp litter, roundtrip") {
+    import spark.implicits._
+    val stage = new java.io.File(
+      java.nio.file.Files.createTempDirectory("graft-warc-stage").toFile, "shards")
+    val df = (0L until 40L)
+      .map(i => (i, s"<html><body>doc $i</body></html>".getBytes("UTF-8"), "en"))
+      .toDF("doc_id", "html", "lang")
+    Warc.stageShards(df, stage.toURI.toString, nShards = 8,
+      urlPrefix = "http://h/", isoTs = Ts)
+    assert(new java.io.File(stage, "_SUCCESS").exists())
+    val names = stage.listFiles().map(_.getName)
+    assert(names.count(_.endsWith(".warc.gz")) == 8,
+      s"want 8 shards, saw ${names.mkString(",")}")
+    assert(!names.exists(_.contains(".tmp-")), "tmp files must not survive")
+    val back = Warc.read(spark, stage.getPath + "/*.warc.gz").collect()
+    assert(back.length == 40 && back.forall(_.getAs[String]("error") == null))
+    assert(back.map(_.getAs[String]("url")).toSet ==
+      (0L until 40L).map(i => s"http://h/$i").toSet)
+  }
+
+  test("salvage: records before a truncated tail survive + one error row") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-salvage").toFile
+    val f = new java.io.File(dir, "tail.warc.gz")
+    val out = new java.io.FileOutputStream(f)
+    out.write(Warc.gzipMember(Warc.warcinfo(f.getName, Ts)))
+    (0 until 3).foreach { i =>
+      out.write(Warc.gzipMember(Warc.record(i.toLong, s"http://s/$i", Ts, "en",
+        s"<html><body>ok $i</body></html>".getBytes("UTF-8"))))
+    }
+    val tail = Warc.record(9L, "http://s/9", Ts, "en",
+      "<html><body>cut mid-body</body></html>".getBytes("UTF-8"))
+    out.write(Warc.gzipMember(java.util.Arrays.copyOf(tail, tail.length - 25)))
+    out.close()
+    val rows = Warc.read(spark, f.getPath).collect()
+    val (errs, oks) = rows.partition(r => r.getAs[String]("error") != null)
+    assert(oks.length == 3, "good records before the bad tail must survive")
+    assert(oks.map(_.getAs[String]("url")).sorted.toSeq ==
+      (0 until 3).map(i => s"http://s/$i"))
+    assert(errs.length == 1 && errs.head.getAs[String]("error").contains("warc"))
+    assert(errs.head.getAs[String]("url").endsWith("tail.warc.gz"))
+  }
+
   test("spark read path: valid shards parse, a malformed file is one error row") {
     val dir = java.nio.file.Files.createTempDirectory("graft-warc").toFile
     val good = new java.io.File(dir, "good.warc.gz")
