@@ -99,6 +99,36 @@ object ScalePair {
       * (checksum mismatch) measured the wrong computation entirely. */
     def valid: Boolean =
       efficiency > 0.0 && efficiency <= 1.05 && checksumMatch
+
+    /** The strong-shape number is physically meaningful under the same
+      * rule (see strongEfficiency scaladoc: GC superlinearity or a
+      * full-leg steal burst pushes it past 1); Bench tops pairs up
+      * until enough of THESE exist too (VERDICT r4 #6). */
+    def strongValid: Boolean =
+      valid && strongEfficiency > 0.0 && strongEfficiency <= 1.05
+  }
+
+  /** Pre-flight steal gate (VERDICT r4 #7): probe host steal over
+    * short windows and delay the measurement while the host is
+    * storming, bounded by `maxWaitMs`. Returns the last probe's
+    * steal%, so the caller can record whether it gave up waiting.
+    * This raises the fraction of pairs that land in clean windows —
+    * it never edits the record (poisoned pairs that slip through are
+    * still appended and self-identify via their steal markers). */
+  def awaitCalm(thresholdPct: Double = 0.3, probeMs: Long = 2000,
+                backoffMs: Long = 15000, maxWaitMs: Long = 120000): Double = {
+    val t0 = System.nanoTime()
+    var last = -1.0
+    var first = true
+    while (first || (last > thresholdPct &&
+        (System.nanoTime() - t0) / 1e6 < maxWaitMs)) {
+      if (!first) Thread.sleep(backoffMs)
+      first = false
+      val (_, pct) = withSteal(Thread.sleep(probeMs))
+      last = pct
+      if (last < 0) return last // /proc/stat unreadable — nothing to wait on
+    }
+    last
   }
 
   private val addOpens = Seq(
