@@ -55,6 +55,8 @@ object GraftSession {
       NfcNormalize(Cast(exprs.head, org.apache.spark.sql.types.StringType))),
     "graft_mix64" -> (exprs =>
       SplitMix64(Cast(exprs.head, org.apache.spark.sql.types.LongType))),
+    "graft_fnv64" -> (exprs =>
+      graft.expr.Fnv64(Cast(exprs.head, org.apache.spark.sql.types.StringType))),
     "graft_lsh_bucket" -> (exprs => LshBucket(exprs.head, exprs(1))),
     "graft_explode_blocks" -> (exprs => graft.expr.ExplodeBlocks(exprs.head)),
     // html | binary both accepted (BINARY→STRING cast is utf-8 decode)

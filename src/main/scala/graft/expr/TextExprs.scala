@@ -274,6 +274,21 @@ case class SplitMix64(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** `graft_fnv64(text) -> BIGINT` — FNV-1a over the string's UTF-16
+  * code units (the [[Hash64.fnv1a]] two-byte schedule — exactly the
+  * hash the d8 oracle recomputes per word in SQL, so string-keyed
+  * dedup ops can shuffle 8-byte hashes instead of full paragraph
+  * strings and an oracle can mirror the keys bit-for-bit, collisions
+  * included). Empty string hashes to the FNV offset basis. */
+case class Fnv64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "graft_fnv64"
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    Hash64.fnv1a(v.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 /** `graft_nfc(text) -> STRING` — Unicode NFC normalization
   * (canonical composition, `java.text.Normalizer`): the standard
   * first step for web text, where the same visible string arrives as

@@ -109,6 +109,50 @@ object Dedup {
         col("n_dup_windows").cast("double") / col("n_windows").cast("double"))
   }
 
+  /** CCNet-style PARAGRAPH-level exact dedup (Wenzek et al. 2020,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web
+    * Crawl Data"): drop every paragraph whose exact text already
+    * occurred at a smaller (doc_id, idx) anywhere in the corpus, keep
+    * the rest in order. This is THE standard web-corpus boilerplate
+    * killer — cookie banners, nav footers, and legal blurbs repeat
+    * verbatim across millions of pages while each page's body stays
+    * unique, so paragraph-granular dedup removes them without any
+    * per-site rules (and subsumes doc-level exact dedup: a full dup
+    * doc loses every paragraph).
+    *
+    * Scale shape: paragraphs shuffle by their 64-bit FNV-1a hash
+    * (graft_fnv64 — 8 bytes per key, never the paragraph string), one
+    * combiner-friendly min-(doc,idx) aggregate picks the keeper, a
+    * same-key join-back (Exchange reuse, like substringDupStats)
+    * marks survivors, and reassembly is one groupBy doc_id. Linear in
+    * total paragraphs; a banner repeated in 10^9 docs costs rows
+    * linear in its occurrences, never quadratic. Hash collisions
+    * conflate paragraphs (2^-64-scale risk, same accepted trade as
+    * the d8 window hashes) — and the oracle recomputes the identical
+    * hash, collisions included.
+    *
+    * Output: (doc_id, n_paras, n_kept, text_dedup) with paragraphs
+    * rejoined by `sep` ("" when nothing survives). */
+  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
+                     sep: String = "\n"): DataFrame = {
+    val paras = docs.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
+      .toDF("doc_id", "idx", "para")
+      .withColumn("ph", call_function("graft_fnv64", col("para")))
+    val firsts = paras.groupBy("ph")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("first"))
+    paras.join(firsts, "ph")
+      .withColumn("keep",
+        col("doc_id") === col("first.doc_id") && col("idx") === col("first.idx"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(sep, transform(
+          sort_array(collect_list(when(col("keep"),
+            struct(col("idx"), col("para"))))),
+          e => e.getField("para"))).as("text_dedup"))
+  }
+
   /** Benchmark decontamination: flag corpus docs sharing ≥ `minOverlap`
     * distinct word-3-grams with a held-out eval set (the standard
     * pre-training hygiene step). Scale shape: the eval side is bounded

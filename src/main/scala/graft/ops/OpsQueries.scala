@@ -123,6 +123,26 @@ object OpsQueries {
         .select(col("doc_id"), length(col("text")).as("n_chars"))
         .orderBy("doc_id")
     }),
+    // CCNet-style paragraph-level exact dedup: the web-corpus
+    // boilerplate killer (repeated cookie banners / footers vanish
+    // corpus-wide without per-site rules). Plants: every 3rd doc gains
+    // a UNIQUE tail paragraph (must survive), every 7th the SAME
+    // banner paragraph (must survive only at its smallest (doc,idx)),
+    // and the fixture's natural exact-dup docs lose every paragraph.
+    // Keys shuffle as graft_fnv64 hashes; the oracle recomputes the
+    // identical FNV-1a per paragraph, collisions included.
+    "d10_para_dedup" -> ((s, dir) => {
+      GraftSession.register(s)
+      val withTail = when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit("\nunique tail "), col("doc_id")))
+        .otherwise(col("text"))
+      val planted = when(col("doc_id") % 7 === 0,
+        concat(withTail,
+          lit("\nAccept cookies to continue — Terms of Service apply")))
+        .otherwise(withTail)
+      val corpus = t(s, dir, "documents").select(col("doc_id"), planted.as("text"))
+      Dedup.paragraphDedup(corpus, "doc_id", "text").orderBy("doc_id")
+    }),
     // SimHash hamming-band dedup
     "d4_simhash" -> ((s, dir) => {
       GraftSession.register(s)
@@ -675,6 +695,41 @@ object OpsQueries {
        |  SELECT 1 FROM comp c WHERE c.doc_id = d.doc_id AND c.canon_id <> c.doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  /** d10 from first principles: the same planted corpus (unique tails
+    * every 3rd doc, the shared banner every 7th), the SAME FNV-1a per
+    * paragraph ($fnvWordSql over the paragraph string — bit-exact vs
+    * graft_fnv64, collisions included), first occurrence per hash by
+    * (doc_id, idx) kept, ordered string_agg reassembly (COALESCE ''
+    * for docs that lose every paragraph, matching concat_ws). */
+  private lazy val d10OracleSql: String =
+    s"""WITH c1 AS (
+       | SELECT doc_id,
+       |   CASE WHEN doc_id % 3 = 0
+       |        THEN text || chr(10) || 'unique tail ' || doc_id
+       |        ELSE text END AS t2
+       | FROM documents),
+       |c2 AS (
+       | SELECT doc_id,
+       |   CASE WHEN doc_id % 7 = 0
+       |        THEN t2 || chr(10) ||
+       |             'Accept cookies to continue — Terms of Service apply'
+       |        ELSE t2 END AS text
+       | FROM c1),
+       |paras AS (
+       | SELECT doc_id, i - 1 AS idx, w AS para, $fnvWordSql AS ph
+       | FROM (SELECT doc_id, unnest(range(1, len(p)+1)) AS i, p
+       |       FROM (SELECT doc_id, string_split(text, chr(10)) AS p FROM c2)),
+       |      LATERAL (SELECT p[i] AS w)),
+       |ranked AS (
+       | SELECT doc_id, idx, para,
+       |        row_number() OVER (PARTITION BY ph ORDER BY doc_id, idx) AS rn
+       | FROM paras)
+       |SELECT doc_id, COUNT(*) AS n_paras,
+       |       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       COALESCE(string_agg(CASE WHEN rn = 1 THEN para END, chr(10)
+       |                           ORDER BY idx), '') AS text_dedup
+       |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Full SimHash recomputation: per-word FNV → ±1 votes per bit →
     * 64-bit fingerprint → 4×16-bit chunk-band join (pigeonhole) →
     * exact hamming via bit_count(xor). Matches d4 bit-for-bit. */
@@ -858,6 +913,7 @@ object OpsQueries {
     "d6_dup_clusters" -> d6OracleSql,
     "d8_substring_dup" -> d8OracleSql,
     "d9_dedup_corpus" -> d9OracleSql,
+    "d10_para_dedup" -> d10OracleSql,
     "g1_pagerank" -> g1OracleSql,
     "d4_simhash" -> d4OracleSql,
     "s2_ann_lsh" -> s2OracleSql,

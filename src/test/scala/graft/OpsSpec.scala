@@ -478,6 +478,31 @@ class OpsSpec extends AnyFunSuite {
       "redistribution must conserve more total mass than the leaky default")
   }
 
+  test("paragraph dedup: banner killed corpus-wide, uniques survive, dup doc empties") {
+    import spark.implicits._
+    GraftSession.register(spark)
+    val docs = Seq(
+      (0L, "alpha body\nShared Banner"),
+      (1L, "beta body\nShared Banner"),
+      (2L, "alpha body\nShared Banner"), // exact dup of doc 0's paragraphs
+      (3L, "gamma\nunique three")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.paragraphDedup(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_paras"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("text_dedup")))).toMap
+    assert(got(0L) == ((2L, 2L, "alpha body\nShared Banner")),
+      "first occurrences all survive")
+    assert(got(1L) == ((2L, 1L, "beta body")), "banner dies on its second doc")
+    assert(got(2L) == ((2L, 0L, "")), "a fully-duplicated doc loses everything")
+    assert(got(3L) == ((2L, 2L, "gamma\nunique three")))
+    // expression ↔ oracle hash parity: graft_fnv64 IS Hash64.fnv1a
+    val h = docs.select(org.apache.spark.sql.functions.call_function(
+      "graft_fnv64", org.apache.spark.sql.functions.lit("Shared Banner")))
+      .head().getLong(0)
+    assert(h == graft.expr.Hash64.fnv1a("Shared Banner"))
+  }
+
   test("deduped corpus: exactly the canonical + untouched docs survive") {
     val d6 = OpsQueries.all("d6_dup_clusters")(spark, sf).collect()
     val losers = d6.filter(r => r.getAs[Long]("canon_id") != r.getAs[Long]("doc_id"))

@@ -48,7 +48,8 @@ class PlanChecksSpec extends AnyFunSuite {
     // so its executedPlan no longer contains the candidate join — d3
     // pins the shared minhashPairs plan)
     Seq("d2_ngram_jaccard", "d3_minhash_lsh", "d4_simhash", "t4_fingerprint",
-      "d5_embed_neardup", "d8_substring_dup", "t10_rare_tokens").foreach { q =>
+      "d5_embed_neardup", "d8_substring_dup", "t10_rare_tokens",
+      "d10_para_dedup").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
