@@ -49,6 +49,13 @@ object Bench {
     // warmup: JIT + codegen for the whole scan→extract path
     extractRun(spark.read.parquet(stage).limit(20000))
 
+    // pre-flight steal gate for the headline phase too (same bounded
+    // wait as the scaling pairs — r5): the r5 first capture ran its
+    // extract reps through a 12% steal burst and read 1.7× low
+    val preCalm = ScalePair.awaitCalm()
+    if (preCalm > 0.3) System.err.println(
+      f"[bench] extract phase starting despite steal $preCalm%.2f%% (wait budget spent)")
+
     // extraction throughput: median of 5 (this host shows bursty CPU
     // steal — round-1 driver capture hit a steal window and read 27×
     // low; the min is reported alongside so a stolen median is
