@@ -144,6 +144,83 @@ object StreamingExtract {
       }
   }
 
+  // --- stateful streaming NEAR-dup (MinHash-LSH) ------------------------
+
+  final case class SigDoc(doc_id: Long, sig: Array[Long])
+  // public: Catalyst codegen instantiates encoder accessors reflectively
+  final case class BandedDoc(bucket: String, doc_id: Long, sig: Array[Long])
+  final case class BucketState(docs: List[SigDoc], dropped: Long)
+  final case class NearDupEvent(id_a: Long, id_b: Long, est_jaccard: Double)
+
+  /** MinHash signatures for a (id, text) frame, streaming-safe
+    * (row-local expression) — the all-sentinel (<3-word) filter
+    * mirrors `Dedup.minhashPairs`. Caller must have run
+    * `GraftSession.register`. */
+  def minhashSigs(docs: DataFrame, idCol: String, textCol: String): Dataset[SigDoc] = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        call_function("graft_minhash", col(textCol)).as("sig"))
+      .filter(array_min(col("sig")) =!= lit(Long.MaxValue))
+      .as[SigDoc]
+  }
+
+  /** Streaming twin of `Dedup.minhashPairs`: docs fan out to their
+    * LSH band buckets (bucket key = band index + raw signature slice —
+    * key equality ⇔ the batch op's band-hash equality), each bucket's
+    * state holds the signatures seen there, and every arrival compares
+    * against them, emitting a pair event when est-Jaccard clears
+    * `minEst`. Downstream consumers dedupe events across bands
+    * (`SELECT DISTINCT`), exactly like the batch `dropDuplicates`.
+    *
+    * State per bucket is its arrival history — the true cost of
+    * streaming near-dup (the batch self-join sees whole buckets at
+    * once; a stream must remember them). `maxBucketDocs` bounds a
+    * pathological hot bucket: beyond it new arrivals still match
+    * against the retained prefix but are not added, and the drop is
+    * counted in state rather than silent (the no-silent-caps rule).
+    * Within a micro-batch arrivals process in doc_id order, so
+    * emission is deterministic at any partitioning. */
+  def nearDupStream(docs: Dataset[SigDoc], bands: Int = 16,
+                    minEst: Double = 0.5,
+                    maxBucketDocs: Int = 10000): Dataset[NearDupEvent] = {
+    import docs.sparkSession.implicits._
+    val banded = docs.flatMap { d =>
+      val r = d.sig.length / bands
+      (0 until bands).iterator.map { b =>
+        BandedDoc(b + ":" + d.sig.slice(b * r, b * r + r).mkString(","),
+          d.doc_id, d.sig)
+      }
+    }
+    banded.groupByKey(_.bucket)
+      .flatMapGroupsWithState[BucketState, NearDupEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, it: Iterator[BandedDoc], state: GroupState[BucketState]) =>
+          val arrivals = it.toSeq.sortBy(_.doc_id)
+          var st = state.getOption.getOrElse(BucketState(Nil, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[NearDupEvent]
+          arrivals.foreach { d =>
+            st.docs.foreach { p =>
+              if (p.doc_id != d.doc_id) {
+                val k = d.sig.length
+                var m = 0
+                var i = 0
+                while (i < k) { if (p.sig(i) == d.sig(i)) m += 1; i += 1 }
+                val est = m.toDouble / k
+                if (est >= minEst)
+                  out += NearDupEvent(math.min(p.doc_id, d.doc_id),
+                    math.max(p.doc_id, d.doc_id), est)
+              }
+            }
+            st =
+              if (st.docs.size < maxBucketDocs)
+                st.copy(docs = SigDoc(d.doc_id, d.sig) :: st.docs)
+              else st.copy(dropped = st.dropped + 1)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   // --- stateful sessionization (flatMapGroupsWithState) -----------------
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String)

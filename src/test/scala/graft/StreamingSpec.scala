@@ -156,6 +156,40 @@ class StreamingSpec extends AnyFunSuite {
       s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
   }
 
+  test("streaming near-dup (minhash-LSH) == batch minhashPairs pair set") {
+    import spark.implicits._
+    GraftSession.register(spark)
+    val src = tmp("neardup")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // batch 1: the original corpus arrives first
+    docs.write.mode("append").parquet(src)
+    val stream = spark.readStream.schema("doc_id BIGINT, text STRING").parquet(src)
+    val q = StreamingExtract.nearDupStream(
+        StreamingExtract.minhashSigs(stream, "doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardupstream")
+      .start()
+    q.processAllAvailable()
+    // batch 2: near-dups of every 5th doc arrive LATER — cross-batch
+    // pairs must come out of the bucket state, not a within-batch join
+    val late = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" zz qq xx")).as("text"))
+    late.write.mode("append").parquet(src)
+    q.processAllAvailable(); q.stop()
+    // consumer-side cross-band dedupe == the batch dropDuplicates
+    val streamed = spark.sql(
+        "SELECT DISTINCT id_a, id_b, est_jaccard FROM neardupstream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = graft.ops.Dedup.minhashPairs(
+        docs.unionAll(late), "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed.nonEmpty, "planted near-dups must surface")
+    assert(streamed == batch,
+      s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+  }
+
   test("streaming exact dedup == batch exactGroups (first-wins keeper)") {
     import spark.implicits._
     val src = tmp("dedup")
