@@ -358,6 +358,50 @@ object OpsQueries {
         concat(lit("src"), ((col("doc_id") * 7) % 20).cast("string")).as("dst"))
       Graph.pageRank(edges, "src", "dst", iters = 3).orderBy("host")
     }),
+    // crawl-analytics rollup: per-host corpus statistics (the domain
+    // balance audit that pairs with t9's host cap — which hosts
+    // dominate the mix, how big their docs run, how many languages
+    // they serve). ONE combiner-friendly groupBy over the corpus:
+    // partial aggregation collapses each host inside every map
+    // partition, so a million-doc host reaches the reducer as
+    // n_partitions partial rows, never a row per doc.
+    "t11_host_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(trim(col("text")), "[ \\t\\n\\f\\r\\u000B]+"))
+            .cast("long")).as("n_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(length(col("text")).cast("long")).as("n_chars"))
+        .withColumn("mean_doc_chars",
+          col("n_chars").cast("double") / col("n_docs").cast("double"))
+        .orderBy("source")
+    }),
+    // link-graph degree/reciprocity profile over the same deterministic
+    // host graph as g1: out/in degree count PARALLEL edges (crawl
+    // volume), reciprocity counts DISTINCT reciprocal neighbors — the
+    // distinct-first discipline keeps the self-join bounded by the
+    // distinct edge set (hosts², never doc-pair-quadratic: counting
+    // reciprocity over parallel edges would multiply hot-pair
+    // multiplicities).
+    "g2_host_degrees" -> ((s, dir) => {
+      val edges = t(s, dir, "documents").select(
+        col("source").as("src"),
+        concat(lit("src"), ((col("doc_id") * 7) % 20).cast("string")).as("dst"))
+      val outd = edges.groupBy(col("src").as("host")).agg(count(lit(1)).as("out_deg"))
+      val ind = edges.groupBy(col("dst").as("host")).agg(count(lit(1)).as("in_deg"))
+      val distinctE = edges.distinct()
+      val recip = distinctE.as("e").join(distinctE.as("r"),
+          col("e.src") === col("r.dst") && col("e.dst") === col("r.src"))
+        .groupBy(col("e.src").as("host")).agg(count(lit(1)).as("n_recip"))
+      outd.join(ind, Seq("host"), "full_outer")
+        .join(recip, Seq("host"), "left_outer")
+        .select(col("host"),
+          coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+          coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+          coalesce(col("n_recip"), lit(0L)).as("n_recip"))
+        .orderBy("host")
+    }),
     // corpus-statistics quality signal: rare-token ratio. Unlike t2's
     // row-local heuristics this is a TWO-PASS op. De-skewed shape
     // (VERDICT r4 #3 — the old plan joined every occurrence against
@@ -959,6 +1003,31 @@ object OpsQueries {
         |   w -> list_contains(['the','a','of','to','and','in','is'], w)))::DOUBLE /
         |   len(string_split(TRIM(text), ' '))::DOUBLE, 6) AS stop_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t11_host_stats" ->
+      """SELECT source,
+        | COUNT(*) AS n_docs,
+        | CAST(SUM(len(regexp_split_to_array(TRIM(text), '[ \t\n\f\r\x{0B}]+'))) AS BIGINT) AS n_tokens,
+        | COUNT(DISTINCT lang) AS n_langs,
+        | CAST(SUM(len(text)) AS BIGINT) AS n_chars,
+        | CAST(SUM(len(text)) AS DOUBLE) / COUNT(*) AS mean_doc_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "g2_host_degrees" ->
+      """WITH edges AS (
+        | SELECT source AS src, 'src' || ((doc_id * 7) % 20) AS dst FROM documents),
+        |outd AS (SELECT src AS host, COUNT(*) AS out_deg FROM edges GROUP BY src),
+        |ind AS (SELECT dst AS host, COUNT(*) AS in_deg FROM edges GROUP BY dst),
+        |de AS (SELECT DISTINCT src, dst FROM edges),
+        |recip AS (
+        | SELECT e.src AS host, COUNT(*) AS n_recip
+        | FROM de e JOIN de r ON e.src = r.dst AND e.dst = r.src
+        | GROUP BY e.src)
+        |SELECT COALESCE(o.host, i.host) AS host,
+        | COALESCE(o.out_deg, 0) AS out_deg,
+        | COALESCE(i.in_deg, 0) AS in_deg,
+        | COALESCE(rc.n_recip, 0) AS n_recip
+        |FROM outd o FULL OUTER JOIN ind i ON o.host = i.host
+        |LEFT JOIN recip rc ON rc.host = COALESCE(o.host, i.host)
+        |ORDER BY host""".stripMargin,
     "t3_tokens" ->
       """SELECT doc_id,
         | len(regexp_split_to_array(TRIM(text), '[ \t\n\f\r\x{0B}]+')) AS ws_tokens,
