@@ -503,6 +503,22 @@ class OpsSpec extends AnyFunSuite {
     assert(h == graft.expr.Hash64.fnv1a("Shared Banner"))
   }
 
+  test("paragraph dedup identity: a globally-unique corpus passes through untouched") {
+    import spark.implicits._
+    GraftSession.register(spark)
+    val docs = (0L until 50L).map { i =>
+      (i, s"alpha $i\nbeta $i\ngamma $i")
+    }.toDF("doc_id", "text")
+    val got = graft.ops.Dedup.paragraphDedup(docs, "doc_id", "text").collect()
+    assert(got.length == 50)
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_paras") == 3L && r.getAs[Long]("n_kept") == 3L)
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[String]("text_dedup") == s"alpha $id\nbeta $id\ngamma $id",
+        "reassembly must preserve order and content byte-for-byte")
+    }
+  }
+
   test("deduped corpus: exactly the canonical + untouched docs survive") {
     val d6 = OpsQueries.all("d6_dup_clusters")(spark, sf).collect()
     val losers = d6.filter(r => r.getAs[Long]("canon_id") != r.getAs[Long]("doc_id"))

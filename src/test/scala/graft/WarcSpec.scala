@@ -100,6 +100,28 @@ class WarcSpec extends AnyFunSuite {
     assert(errs.head.getAs[String]("url").endsWith("tail.warc.gz"))
   }
 
+  test("salvage fuzz: any truncation point yields a prefix of good records + ≤1 error row") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-fuzz").toFile
+    val recs = (0 until 6).map { i =>
+      Warc.gzipMember(Warc.record(i.toLong, s"http://f/$i", Ts, "en",
+        s"<html><body>fuzz $i</body></html>".getBytes("UTF-8")))
+    }
+    val full = (Warc.gzipMember(Warc.warcinfo("f.warc.gz", Ts)) ++ recs.flatten).toArray
+    // deterministic truncation sweep across the whole compressed stream
+    (1 until full.length by 97).foreach { cut =>
+      val f = new java.io.File(dir, s"cut-$cut.warc.gz")
+      val out = new java.io.FileOutputStream(f)
+      out.write(full, 0, cut); out.close()
+      val rows = Warc.read(spark, f.getPath).collect()
+      val (errs, oks) = rows.partition(r => r.getAs[String]("error") != null)
+      assert(errs.length <= 1, s"cut=$cut: at most one error row")
+      val urls = oks.map(_.getAs[String]("url")).sorted.toSeq
+      assert(urls == (0 until urls.length).map(i => s"http://f/$i"),
+        s"cut=$cut: good records must be a prefix, got $urls")
+      f.delete()
+    }
+  }
+
   test("spark read path: valid shards parse, a malformed file is one error row") {
     val dir = java.nio.file.Files.createTempDirectory("graft-warc").toFile
     val good = new java.io.File(dir, "good.warc.gz")
