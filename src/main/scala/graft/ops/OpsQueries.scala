@@ -358,6 +358,67 @@ object OpsQueries {
         concat(lit("src"), ((col("doc_id") * 7) % 20).cast("string")).as("dst"))
       Graph.pageRank(edges, "src", "dst", iters = 3).orderBy("host")
     }),
+    // C4-style line/document filters (Raffel et al. 2020, §2.2): keep
+    // lines that end in terminal punctuation AND carry ≥5 tokens; drop
+    // docs containing "lorem ipsum" or a curly brace (code), or with
+    // no kept line. Entirely row-local higher-order functions over the
+    // line array — no shuffle before the driver-compare sort, codegen
+    // end to end. Lines are planted in-query (every 4th doc a short
+    // unterminated line, every 6th a lorem line, every 9th a code
+    // line) so each rule provably fires; the oracle replays the same
+    // plants and rules.
+    "t12_c4_filters" -> ((s, dir) => {
+      val planted = concat(col("text"),
+        when(col("doc_id") % 4 === 0, lit("\nshort line")).otherwise(lit("")),
+        when(col("doc_id") % 6 === 0,
+          lit("\nLorem ipsum dolor sit amet consectetur.")).otherwise(lit("")),
+        when(col("doc_id") % 9 === 0,
+          lit("\nfunction f() { return 0; }")).otherwise(lit("")))
+      val lines = split(planted, "\n")
+      val kept = filter(lines, l =>
+        l.rlike("[.!?\"]$") &&
+          size(split(trim(l), "[ \\t\\n\\f\\r\\u000B]+")) >= 5)
+      val lowered = lower(planted)
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          size(lines).as("n_lines"),
+          size(kept).as("n_kept_lines"),
+          lowered.contains("lorem ipsum").as("has_lorem"),
+          lowered.contains("{").as("has_brace"))
+        .withColumn("keep_doc",
+          col("n_kept_lines") >= 1 && !col("has_lorem") && !col("has_brace"))
+        .orderBy("doc_id")
+    }),
+    // Gopher repetition signals (Rae et al. 2021, Table A1): within-doc
+    // duplicate-line fraction and the fraction of characters sitting in
+    // duplicated lines — the quality pair that catches nav-menu /
+    // listicle spam pages that trigram ratios (t5) miss. Shape: lines
+    // explode to (doc_id, line) and group by that pair — keys are
+    // (doc,line) so a line repeated across the CORPUS never creates a
+    // hot key (contrast d10, which dedups across docs on purpose).
+    // Every 5th doc plants the same line twice so the signal fires.
+    "t13_gopher_lines" -> ((s, dir) => {
+      val planted = concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          lit("\nrepeat me exactly\nrepeat me exactly")).otherwise(lit("")))
+      val docs = t(s, dir, "documents").select(col("doc_id"), planted.as("text"))
+      val lines = docs.select(col("doc_id"),
+        explode(split(col("text"), "\n")).as("line"))
+      val grouped = lines.groupBy("doc_id", "line")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("chars", length(col("line")))
+      grouped.groupBy("doc_id")
+        .agg(sum("cnt").as("n_lines"),
+          sum(col("cnt") - 1).as("n_dup_lines"),
+          sum(col("cnt") * col("chars")).as("n_chars"),
+          sum(when(col("cnt") > 1, col("cnt") * col("chars")).otherwise(0L))
+            .as("dup_chars"))
+        .withColumn("dup_line_frac",
+          col("n_dup_lines").cast("double") / col("n_lines").cast("double"))
+        .withColumn("dup_char_frac",
+          col("dup_chars").cast("double") / col("n_chars").cast("double"))
+        .orderBy("doc_id")
+    }),
     // crawl-analytics rollup: per-host corpus statistics (the domain
     // balance audit that pairs with t9's host cap — which hosts
     // dominate the mix, how big their docs run, how many languages
@@ -1003,6 +1064,44 @@ object OpsQueries {
         |   w -> list_contains(['the','a','of','to','and','in','is'], w)))::DOUBLE /
         |   len(string_split(TRIM(text), ' '))::DOUBLE, 6) AS stop_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t12_c4_filters" ->
+      """WITH planted AS (
+        | SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'short line' ELSE '' END ||
+        |  CASE WHEN doc_id % 6 = 0 THEN chr(10) || 'Lorem ipsum dolor sit amet consectetur.' ELSE '' END ||
+        |  CASE WHEN doc_id % 9 = 0 THEN chr(10) || 'function f() { return 0; }' ELSE '' END AS text
+        | FROM documents),
+        |k AS (
+        | SELECT doc_id, text, len(string_split(text, chr(10))) AS n_lines,
+        |  len(list_filter(string_split(text, chr(10)), x ->
+        |    regexp_matches(x, '[.!?"]$') AND
+        |    len(regexp_split_to_array(trim(x), '[ \t\n\f\r\x{0B}]+')) >= 5)) AS n_kept_lines
+        | FROM planted)
+        |SELECT doc_id, n_lines, n_kept_lines,
+        | contains(lower(text), 'lorem ipsum') AS has_lorem,
+        | contains(lower(text), '{') AS has_brace,
+        | (n_kept_lines >= 1 AND NOT contains(lower(text), 'lorem ipsum')
+        |   AND NOT contains(lower(text), '{')) AS keep_doc
+        |FROM k ORDER BY doc_id""".stripMargin,
+    "t13_gopher_lines" ->
+      """WITH planted AS (
+        | SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 5 = 0
+        |       THEN chr(10) || 'repeat me exactly' || chr(10) || 'repeat me exactly'
+        |       ELSE '' END AS text
+        | FROM documents),
+        |lines AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM planted),
+        |g AS (SELECT doc_id, line, COUNT(*) AS cnt, len(line) AS chars
+        |      FROM lines GROUP BY doc_id, line)
+        |SELECT doc_id,
+        | CAST(SUM(cnt) AS BIGINT) AS n_lines,
+        | CAST(SUM(cnt - 1) AS BIGINT) AS n_dup_lines,
+        | CAST(SUM(cnt * chars) AS BIGINT) AS n_chars,
+        | CAST(SUM(CASE WHEN cnt > 1 THEN cnt * chars ELSE 0 END) AS BIGINT) AS dup_chars,
+        | CAST(SUM(cnt - 1) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS dup_line_frac,
+        | CAST(SUM(CASE WHEN cnt > 1 THEN cnt * chars ELSE 0 END) AS DOUBLE)
+        |   / CAST(SUM(cnt * chars) AS DOUBLE) AS dup_char_frac
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t11_host_stats" ->
       """SELECT source,
         | COUNT(*) AS n_docs,
