@@ -358,6 +358,49 @@ object OpsQueries {
         concat(lit("src"), ((col("doc_id") * 7) % 20).cast("string")).as("dst"))
       Graph.pageRank(edges, "src", "dst", iters = 3).orderBy("host")
     }),
+    // FLAGSHIP COMPOSITION — the end-to-end training-corpus pipeline a
+    // user of this engine actually runs, as ONE query: exact dedup
+    // (min-id keeper per sha256, shuffles 32-byte hashes never text) →
+    // C4 line/doc rules (row-local) → benchmark decontamination
+    // (guarded-broadcast eval shingle overlap, Dedup.decontaminate) →
+    // deterministic per-host cap (splitmix64 priority, bounded-heap
+    // graft_topk). Each stage's trigger is planted: every 6th doc has
+    // an exact copy (dedup kills it), every 10th gains "lorem ipsum" /
+    // every 9th a brace (C4 kills them), every 13th doc is the eval
+    // slice (decon kills overlapping survivors), and the cap keeps 10
+    // docs per host. The oracle replays all four stages in SQL.
+    "p1_training_corpus" -> ((s, dir) => {
+      GraftSession.register(s)
+      val base = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        concat(col("text"),
+          when(col("doc_id") % 10 === 0, lit(" lorem ipsum")).otherwise(lit("")),
+          when(col("doc_id") % 9 === 0, lit(" brace { here }")).otherwise(lit("")),
+          lit(" end of document.")).as("text"))
+      val corpus = base.unionAll(base.filter(col("doc_id") % 6 === 0)
+        .select((col("doc_id") + 400000).as("doc_id"), col("source"), col("text")))
+      val keepers = corpus.groupBy(sha2(col("text"), 256).as("sha"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val deduped = corpus.join(keepers, Seq("doc_id"), "left_semi")
+      val lines = split(col("text"), "\n")
+      val keptLines = filter(lines, l => l.rlike("[.!?\"]$") &&
+        size(split(trim(l), "[ \\t\\n\\f\\r\\u000B]+")) >= 5)
+      val c4 = deduped.filter(size(keptLines) >= 1 &&
+        !lower(col("text")).contains("lorem ipsum") &&
+        !lower(col("text")).contains("{"))
+      val evalSet = base.filter(col("doc_id") % 13 === 0).select("doc_id", "text")
+      val cont = Dedup.decontaminate(c4, evalSet, "doc_id", "text", minOverlap = 8)
+        .filter(col("contaminated")).select("doc_id")
+      val clean = c4.join(cont, Seq("doc_id"), "left_anti")
+      val scored = clean.select(col("doc_id"), col("source"),
+        shiftrightunsigned(call_function("graft_mix64", col("doc_id")), 11)
+          .cast("double").as("score"))
+      scored.groupBy("source")
+        .agg(call_function("graft_topk", col("score"), col("doc_id"), lit(10))
+          .as("top"))
+        .select(col("source"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("e.id").as("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
     // C4-style line/document filters (Raffel et al. 2020, §2.2): keep
     // lines that end in terminal punctuation AND carry ≥5 tokens; drop
     // docs containing "lorem ipsum" or a curly brace (code), or with
@@ -636,6 +679,68 @@ object OpsQueries {
   /** The x10 explicit whitespace class, DuckDB-regex form (raw string:
     * no interpolator escape processing, `\x{0B}` stays literal). */
   private val wsClassSql = """[ \t\n\f\r\x{0B}\x{A0}]+"""
+
+  /** The t12 explicit whitespace class (no NBSP — exactly the Java
+    * default-whitespace expansion), raw-string as above. */
+  private val wsClassNoNbspSql = """[ \t\n\f\r\x{0B}]+"""
+
+  /** p1 from first principles: all four pipeline stages replayed in
+    * SQL over the same planted corpus — text-partitioned first-keeper
+    * (== the engine's sha256 min-id keeper absent collisions), the t12
+    * C4 rules, d7's shingle-overlap decontamination against the eval
+    * slice, and t9's splitmix64 + top-53-bit + row_number host cap. */
+  private lazy val p1OracleSql: String =
+    s"""WITH base AS (
+       | SELECT doc_id, source,
+       |   text ||
+       |   CASE WHEN doc_id % 10 = 0 THEN ' lorem ipsum' ELSE '' END ||
+       |   CASE WHEN doc_id % 9 = 0 THEN ' brace { here }' ELSE '' END ||
+       |   ' end of document.' AS text
+       | FROM documents),
+       |corpus AS (
+       | SELECT doc_id, source, text FROM base
+       | UNION ALL
+       | SELECT doc_id + 400000 AS doc_id, source, text FROM base
+       | WHERE doc_id % 6 = 0),
+       |dedup AS (
+       | SELECT doc_id, source, text FROM (
+       |  SELECT doc_id, source, text,
+       |         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+       |  FROM corpus) WHERE rn = 1),
+       |c4 AS (
+       | SELECT doc_id, source, text FROM dedup
+       | WHERE len(list_filter(string_split(text, chr(10)), x ->
+       |     regexp_matches(x, '[.!?"]$$') AND
+       |     len(regexp_split_to_array(trim(x), '$wsClassNoNbspSql')) >= 5)) >= 1
+       |  AND NOT contains(lower(text), 'lorem ipsum')
+       |  AND NOT contains(lower(text), '{')),
+       |ev AS (SELECT text FROM base WHERE doc_id % 13 = 0),
+       |evw AS (SELECT string_split(trim(text), ' ') AS w FROM ev),
+       |evsh AS (
+       | SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(w)-1),
+       |   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+       | FROM evw WHERE len(w) >= 3),
+       |cw AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM c4),
+       |csh AS (
+       | SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-1),
+       |   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+       | FROM cw WHERE len(w) >= 3),
+       |cont AS (
+       | SELECT c.doc_id FROM csh c JOIN evsh e ON c.shingle = e.shingle
+       | GROUP BY c.doc_id HAVING COUNT(*) >= 8),
+       |clean AS (
+       | SELECT doc_id, source FROM c4
+       | WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+       |m0 AS (SELECT doc_id, source, CAST(doc_id AS UBIGINT) AS x FROM clean),
+       |${mixCtes("m0", "x", "pc", "mx", "doc_id, source")},
+       |scored AS (SELECT doc_id, source, CAST(mx >> 11 AS DOUBLE) AS score
+       |           FROM pc_out),
+       |ranked AS (SELECT doc_id, source,
+       |  row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id)
+       |    AS rank
+       | FROM scored)
+       |SELECT doc_id, source FROM ranked WHERE rank <= 10 ORDER BY doc_id"""
+      .stripMargin
 
   private lazy val d8OracleSql: String =
     s"""WITH norm AS (
@@ -1019,6 +1124,7 @@ object OpsQueries {
     "d8_substring_dup" -> d8OracleSql,
     "d9_dedup_corpus" -> d9OracleSql,
     "d10_para_dedup" -> d10OracleSql,
+    "p1_training_corpus" -> p1OracleSql,
     "g1_pagerank" -> g1OracleSql,
     "d4_simhash" -> d4OracleSql,
     "s2_ann_lsh" -> s2OracleSql,
