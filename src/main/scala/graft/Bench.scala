@@ -139,8 +139,15 @@ object Bench {
     val scaleRuns = scala.collection.mutable.ArrayBuffer.empty[ScalePair.Result]
     if (sys.env.getOrElse("SPARK_GRAFT_SCALE", "1") == "1") {
       var i = 0
+      // wall-clock budget for the whole pair phase: 8 attempts with
+      // worst-case pre-flight waits could otherwise stretch past any
+      // reasonable driver timeout; the record keeps whatever landed
+      val phaseBudgetMs =
+        sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_MS", "1500000").toLong
+      val phaseT0 = System.nanoTime()
       while (i < maxPairs && (scaleRuns.count(_.valid) < nPairs ||
-          scaleRuns.count(_.strongValid) < nStrong)) {
+          scaleRuns.count(_.strongValid) < nStrong) &&
+          (System.nanoTime() - phaseT0) / 1e6 < phaseBudgetMs) {
         i += 1
         // pre-flight steal gate (VERDICT r4 #7): wait out a storm
         // (bounded) so pairs land in clean windows more often; a pair
