@@ -358,6 +358,39 @@ object OpsQueries {
         concat(lit("src"), ((col("doc_id") * 7) % 20).cast("string")).as("dst"))
       Graph.pageRank(edges, "src", "dst", iters = 3).orderBy("host")
     }),
+    // incremental crawl ingestion (the continuous-pipeline discipline:
+    // every new crawl batch dedups against the EXISTING corpus before
+    // joining it): each batch row is classified corpus_dup (text
+    // already in the corpus — left-semi on sha256, 32-byte keys
+    // shuffle, never text), batch_dup (an earlier row of the SAME
+    // batch has the text — min-id first-wins, matching the streaming
+    // dedupStream keeper rule), or fresh. Plants: every 3rd corpus doc
+    // re-arrives verbatim (+500000), every 3rd+1 doc's NEW text
+    // arrives twice (+600000 and +700000 — the later one is the batch
+    // dup), nothing else arrives.
+    "d11_incremental_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val batch =
+        docs.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 500000).as("doc_id"), col("text"))
+        .unionAll(docs.filter(col("doc_id") % 3 === 1)
+          .select((col("doc_id") + 600000).as("doc_id"),
+            concat(col("text"), lit(" fresh tail")).as("text")))
+        .unionAll(docs.filter(col("doc_id") % 3 === 1)
+          .select((col("doc_id") + 700000).as("doc_id"),
+            concat(col("text"), lit(" fresh tail")).as("text")))
+      val bsha = batch.select(col("doc_id"), sha2(col("text"), 256).as("sha"))
+      val csha = docs.select(sha2(col("text"), 256).as("sha")).distinct()
+      val corpusDup = bsha.join(csha, Seq("sha"), "left_semi")
+        .select(col("doc_id"), lit("corpus_dup").as("status"))
+      val rest = bsha.join(csha, Seq("sha"), "left_anti")
+      val firsts = rest.groupBy("sha").agg(min("doc_id").as("first_id"))
+      val restStatus = rest.join(firsts, "sha")
+        .select(col("doc_id"),
+          when(col("doc_id") === col("first_id"), "fresh")
+            .otherwise("batch_dup").as("status"))
+      corpusDup.unionAll(restStatus).orderBy("doc_id")
+    }),
     // FLAGSHIP COMPOSITION — the end-to-end training-corpus pipeline a
     // user of this engine actually runs, as ONE query: exact dedup
     // (min-id keeper per sha256, shuffles 32-byte hashes never text) →
@@ -1125,6 +1158,28 @@ object OpsQueries {
     "d9_dedup_corpus" -> d9OracleSql,
     "d10_para_dedup" -> d10OracleSql,
     "p1_training_corpus" -> p1OracleSql,
+    "d11_incremental_ingest" ->
+      """WITH batch AS (
+        | SELECT doc_id + 500000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+        | UNION ALL
+        | SELECT doc_id + 600000 AS doc_id, text || ' fresh tail' AS text
+        | FROM documents WHERE doc_id % 3 = 1
+        | UNION ALL
+        | SELECT doc_id + 700000 AS doc_id, text || ' fresh tail' AS text
+        | FROM documents WHERE doc_id % 3 = 1),
+        |flagged AS (
+        | SELECT b.doc_id, b.text,
+        |        EXISTS (SELECT 1 FROM documents d WHERE d.text = b.text) AS in_corpus
+        | FROM batch b),
+        |ranked AS (
+        | SELECT doc_id, in_corpus,
+        |        row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        | FROM flagged WHERE NOT in_corpus)
+        |SELECT doc_id, 'corpus_dup' AS status FROM flagged WHERE in_corpus
+        |UNION ALL
+        |SELECT doc_id, CASE WHEN rn = 1 THEN 'fresh' ELSE 'batch_dup' END AS status
+        |FROM ranked
+        |ORDER BY doc_id""".stripMargin,
     "g1_pagerank" -> g1OracleSql,
     "d4_simhash" -> d4OracleSql,
     "s2_ann_lsh" -> s2OracleSql,
