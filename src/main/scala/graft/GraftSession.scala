@@ -58,6 +58,12 @@ object GraftSession {
     "graft_fnv64" -> (exprs =>
       graft.expr.Fnv64(Cast(exprs.head, org.apache.spark.sql.types.StringType))),
     "graft_lsh_bucket" -> (exprs => LshBucket(exprs.head, exprs(1))),
+    // membership probe against a plan-time-literal serialized Bloom
+    // filter (exact-join pre-filter for over-broadcast membership
+    // sides; foldability of arg 1 is checked by the expression itself)
+    "graft_bloom_contains" -> (exprs =>
+      graft.expr.BloomContains(exprs.head,
+        Cast(exprs(1), org.apache.spark.sql.types.StringType))),
     "graft_explode_blocks" -> (exprs => graft.expr.ExplodeBlocks(exprs.head)),
     // html | binary both accepted (BINARY→STRING cast is utf-8 decode)
     "graft_outlinks" -> (exprs =>

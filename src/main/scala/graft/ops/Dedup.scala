@@ -166,10 +166,29 @@ object Dedup {
     * oversized eval set OOM the driver. The guard costs one small
     * count job over the (bounded) eval side; the join recomputes that
     * aggregation once — a cache would save it but leak a persisted
-    * dataset per call. */
+    * dataset per call.
+    *
+    * Above the broadcast guard there is a second, much wider band
+    * before brute shuffle becomes the only option: an eval set whose
+    * HASH RELATION cannot broadcast often still fits as a BLOOM
+    * (~9.6 bits per distinct shingle at `bloomFpp`=1% ⇒ ~120 MB per
+    * 10^8 shingles, vs gigabytes for the hash relation). In that band
+    * the corpus's shingle stream is pre-filtered MAP-SIDE with
+    * `graft_bloom_contains` before the exact merge join — at a low
+    * contamination rate that removes ~99% of the corpus side's shuffle
+    * volume, which at 100 TB is the difference between shuffling
+    * terabytes and tens of gigabytes. Bloom filters have no false
+    * negatives and the exact join still runs on the survivors, so the
+    * result is provably identical to both other paths (only false
+    * positives pass the pre-filter, and the join discards them).
+    * Beyond `maxBloomItems` (the driver aggregates the filter bits)
+    * the pre-filter is skipped and the plain merge join remains the
+    * correct-if-slow floor. */
   def decontaminate(corpus: DataFrame, evalSet: DataFrame,
                     idCol: String, textCol: String, minOverlap: Int,
-                    maxEvalShingles: Long = 5000000L): DataFrame = {
+                    maxEvalShingles: Long = 5000000L,
+                    bloomFpp: Double = 0.01,
+                    maxBloomItems: Long = 2000000000L): DataFrame = {
     val evalSh = evalSet
       .select(explode(shingles(col(textCol))).as("shingle")).distinct()
     // deliberately NOT persisted: the join recomputes the (bounded,
@@ -181,11 +200,23 @@ object Dedup {
     // stats-based auto-broadcast from resurrecting the driver-side
     // collect the guard just ruled out (AQE may still build a runtime
     // broadcast if the ACTUAL size proves tiny — that is safe)
-    val evalSide =
-      if (evalSh.count() <= maxEvalShingles) broadcast(evalSh)
-      else evalSh.hint("merge")
+    val nEval = evalSh.count()
     val inv = corpus.select(col(idCol), explode(shingles(col(textCol))).as("shingle"))
-    inv.join(evalSide, Seq("shingle"))
+    val probe =
+      if (nEval <= maxEvalShingles || nEval > maxBloomItems) inv
+      else {
+        // driver-side aggregate of partial filters; memory bounded by
+        // the bits (sized from the exact count just taken), not rows
+        val bf = evalSh.stat.bloomFilter("shingle", math.max(nEval, 1L), bloomFpp)
+        val os = new java.io.ByteArrayOutputStream()
+        bf.writeTo(os)
+        inv.filter(call_function("graft_bloom_contains",
+          lit(os.toByteArray), col("shingle")))
+      }
+    val evalSide =
+      if (nEval <= maxEvalShingles) broadcast(evalSh)
+      else evalSh.hint("merge")
+    probe.join(evalSide, Seq("shingle"))
       .groupBy(idCol).agg(count(lit(1)).as("n_overlap"))
       .withColumn("contaminated", col("n_overlap") >= minOverlap)
   }

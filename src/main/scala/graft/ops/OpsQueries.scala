@@ -92,6 +92,23 @@ object OpsQueries {
       Dedup.decontaminate(corpus, evalSet, "doc_id", "text", minOverlap = 8)
         .orderBy("doc_id")
     }),
+    // the same decontamination forced onto the over-broadcast band:
+    // maxEvalShingles=0 trips the guard, so the corpus shingle stream
+    // is Bloom-pre-filtered map-side (graft_bloom_contains over the
+    // serialized eval-set filter) before the exact merge join — the
+    // 100 TB shape for a membership side that fits as bits but not as
+    // a hash relation. Bloom FPs die in the join, so the answer (and
+    // the oracle) is IDENTICAL to d7's.
+    "d7b_decon_bloom" -> ((s, dir) => {
+      GraftSession.register(s)
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val evalSet = docs.filter(col("doc_id") % 13 === 0)
+      val corpus = docs.filter(col("doc_id") % 13 =!= 0)
+        .unionAll(evalSet.select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" padded contamination tail")).as("text")))
+      Dedup.decontaminate(corpus, evalSet, "doc_id", "text", minOverlap = 8,
+        maxEvalShingles = 0L).orderBy("doc_id")
+    }),
     // exact-substring dedup (Lee et al. 2021): per-doc duplicated
     // k-token-window stats. Contamination is planted: every 11th doc
     // re-appears under doc_id+300000 behind a 6-token fresh prefix, so
@@ -775,6 +792,31 @@ object OpsQueries {
        |SELECT doc_id, source FROM ranked WHERE rank <= 10 ORDER BY doc_id"""
       .stripMargin
 
+  // shared by d7 (broadcast path) and d7b (bloom + merge-join path):
+  // the two plans are proven result-identical, so one oracle covers both
+  private lazy val d7OracleSql: String =
+    """WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 = 0),
+      |corpus AS (
+      | SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0
+      | UNION ALL
+      | SELECT doc_id + 200000 AS doc_id,
+      |        text || ' padded contamination tail' AS text
+      | FROM ev),
+      |evw AS (SELECT string_split(trim(text), ' ') AS w FROM ev),
+      |evsh AS (
+      | SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(w)-1),
+      |   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+      | FROM evw WHERE len(w) >= 3),
+      |cw AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM corpus),
+      |csh AS (
+      | SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-1),
+      |   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+      | FROM cw WHERE len(w) >= 3)
+      |SELECT c.doc_id, COUNT(*) AS n_overlap, COUNT(*) >= 8 AS contaminated
+      |FROM csh c JOIN evsh e ON c.shingle = e.shingle
+      |GROUP BY c.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   private lazy val d8OracleSql: String =
     s"""WITH norm AS (
        | SELECT doc_id,
@@ -1319,28 +1361,10 @@ object OpsQueries {
         |FROM shared JOIN rn na ON na.doc_id = id_a JOIN rn nb ON nb.doc_id = id_b
         |WHERE shared::DOUBLE / (na.n + nb.n - shared)::DOUBLE >= 0.6
         |ORDER BY id_a, id_b""".stripMargin,
-    "d7_decontaminate" ->
-      """WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 = 0),
-        |corpus AS (
-        | SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0
-        | UNION ALL
-        | SELECT doc_id + 200000 AS doc_id,
-        |        text || ' padded contamination tail' AS text
-        | FROM ev),
-        |evw AS (SELECT string_split(trim(text), ' ') AS w FROM ev),
-        |evsh AS (
-        | SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(w)-1),
-        |   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
-        | FROM evw WHERE len(w) >= 3),
-        |cw AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM corpus),
-        |csh AS (
-        | SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-1),
-        |   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
-        | FROM cw WHERE len(w) >= 3)
-        |SELECT c.doc_id, COUNT(*) AS n_overlap, COUNT(*) >= 8 AS contaminated
-        |FROM csh c JOIN evsh e ON c.shingle = e.shingle
-        |GROUP BY c.doc_id
-        |ORDER BY doc_id""".stripMargin,
+    "d7_decontaminate" -> d7OracleSql,
+    // bloom pre-filter is exact (no false negatives; FPs die in the
+    // join) — d7b's oracle IS d7's
+    "d7b_decon_bloom" -> d7OracleSql,
     "t5_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
         |tri AS (

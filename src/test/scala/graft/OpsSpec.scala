@@ -654,6 +654,45 @@ class OpsSpec extends AnyFunSuite {
     assert(rBcast.sameElements(rShuffle), "guard must not change results")
   }
 
+  test("decontamination bloom band: map-side pre-filter, provably exact") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val evalSet = docs.filter(col("doc_id") % 13 === 0)
+    val corpus = docs.filter(col("doc_id") % 13 =!= 0)
+    def run(maxSh: Long, maxBloom: Long): (String, Array[(Long, Long)]) = {
+      val df = Dedup.decontaminate(corpus, evalSet, "doc_id", "text",
+        minOverlap = 8, maxEvalShingles = maxSh, maxBloomItems = maxBloom)
+      (df.queryExecution.executedPlan.toString,
+        df.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_overlap"))
+          .sortBy(_._1))
+    }
+    // over-broadcast band: the corpus shingle stream must carry the
+    // bloom probe below the exact join, and the eval side must not be
+    // a driver-collected broadcast
+    val (pBloom, rBloom) = run(0L, Long.MaxValue)
+    assert(pBloom.contains("graft_bloom_contains"), pBloom.take(800))
+    assert(!pBloom.contains("BroadcastHashJoin"), pBloom.take(800))
+    // no false negatives + FPs die in the join ⇒ identical rows to the
+    // broadcast path AND to the bloom-less merge-join floor
+    val (_, rBcast) = run(Long.MaxValue, Long.MaxValue)
+    val (pFloor, rFloor) = run(0L, 0L)
+    assert(!pFloor.contains("graft_bloom_contains"),
+      "beyond maxBloomItems the pre-filter must be skipped")
+    assert(rBloom.sameElements(rBcast), "bloom band must not change results")
+    assert(rFloor.sameElements(rBcast), "merge-join floor must not change results")
+    // probe/build hash parity, directly: every inserted member answers
+    // true (bloom filters cannot false-negative)
+    import spark.implicits._
+    val members = Seq("alpha beta gamma", "x", "عينة نصية", "").toDF("shingle")
+    val bf = members.stat.bloomFilter("shingle", 4L, 0.01)
+    val os = new java.io.ByteArrayOutputStream()
+    bf.writeTo(os)
+    val probes = members.select(
+      call_function("graft_bloom_contains", lit(os.toByteArray), col("shingle")))
+      .collect().map(_.getBoolean(0))
+    assert(probes.forall(identity), "members must always probe true")
+  }
+
   test("rare-token ratio: corpus-DF-driven, exact against a driver recount") {
     val out = OpsQueries.all("t10_rare_tokens")(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") ->

@@ -77,6 +77,13 @@ class PlanChecksSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "the corpus must stream against a broadcast")
   }
 
+  test("d7b over-broadcast band: bloom probe below the exact join, no broadcast build") {
+    val p = plan("d7b_decon_bloom")
+    assert(p.contains("graft_bloom_contains"),
+      s"corpus stream must be bloom-pre-filtered map-side:\n${p.take(800)}")
+    assert(!p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
   test("scrub ops (t6/t7/u1/t8/x13) are row-local: no join/window, only the sort exchange") {
     // x13 rides along: outlink explode is a Generate over the scan,
     // never a join
