@@ -385,6 +385,55 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Incremental crawl ingestion — the continuous-pipeline discipline:
+    * every new crawl batch dedups against the EXISTING corpus before
+    * joining it. Each batch row is classified
+    *   - `corpus_dup`  — its text already exists in the corpus,
+    *   - `batch_dup`   — an earlier row of the SAME batch has the text
+    *                     (min-id first-wins, the `dedupStream` keeper
+    *                     rule), or
+    *   - `fresh`       — first occurrence anywhere.
+    * Output: (idCol, status), one row per batch row.
+    *
+    * Scale shape: the CORPUS is the 100 TB side and the batch is the
+    * small one (one crawl increment), and a semi-join probe cannot
+    * broadcast its left side — so without care the corpus's entire
+    * sha set shuffles every increment. Instead a Bloom filter is built
+    * over the BATCH's hashes (bounded by the increment, the cheap
+    * side) and the corpus sha stream is pre-filtered map-side before
+    * the exact joins: only corpus rows whose hash MIGHT be in the
+    * batch ship bytes (~fpp of the corpus for a disjoint batch).
+    * False positives die in the exact semi/anti joins, so the
+    * classification is provably identical to the unfiltered plan —
+    * and 32-byte sha256 keys shuffle, never text. Batches larger than
+    * `maxBloomItems` (not a real crawl increment) skip the pre-filter
+    * and fall back to the plain hash joins. */
+  def incrementalIngest(corpus: DataFrame, batch: DataFrame,
+                        idCol: String, textCol: String,
+                        bloomFpp: Double = 0.01,
+                        maxBloomItems: Long = 2000000000L): DataFrame = {
+    val bsha = batch.select(col(idCol), sha2(col(textCol), 256).as("sha"))
+    val cshaAll = corpus.select(sha2(col(textCol), 256).as("sha"))
+    val nBatch = bsha.count() // bounded: the increment, not the corpus
+    val csha =
+      (if (nBatch <= maxBloomItems) {
+        val bf = bsha.stat.bloomFilter("sha", math.max(nBatch, 1L), bloomFpp)
+        val os = new java.io.ByteArrayOutputStream()
+        bf.writeTo(os)
+        cshaAll.filter(call_function("graft_bloom_contains",
+          lit(os.toByteArray), col("sha")))
+      } else cshaAll).distinct()
+    val corpusDup = bsha.join(csha, Seq("sha"), "left_semi")
+      .select(col(idCol), lit("corpus_dup").as("status"))
+    val rest = bsha.join(csha, Seq("sha"), "left_anti")
+    val firsts = rest.groupBy("sha").agg(min(col(idCol)).as("first_id"))
+    val restStatus = rest.join(firsts, "sha")
+      .select(col(idCol),
+        when(col(idCol) === col("first_id"), "fresh")
+          .otherwise("batch_dup").as("status"))
+    corpusDup.unionAll(restStatus)
+  }
+
   /** Embedding cosine near-dup pairs via LSH bucketing (see
     * Similarity.lshBucket): only same-bucket pairs are compared —
     * the 10^12-scale path; brute force stays in the test oracle. */

@@ -386,6 +386,7 @@ object OpsQueries {
     // arrives twice (+600000 and +700000 — the later one is the batch
     // dup), nothing else arrives.
     "d11_incremental_ingest" -> ((s, dir) => {
+      GraftSession.register(s)
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val batch =
         docs.filter(col("doc_id") % 3 === 0)
@@ -396,17 +397,8 @@ object OpsQueries {
         .unionAll(docs.filter(col("doc_id") % 3 === 1)
           .select((col("doc_id") + 700000).as("doc_id"),
             concat(col("text"), lit(" fresh tail")).as("text")))
-      val bsha = batch.select(col("doc_id"), sha2(col("text"), 256).as("sha"))
-      val csha = docs.select(sha2(col("text"), 256).as("sha")).distinct()
-      val corpusDup = bsha.join(csha, Seq("sha"), "left_semi")
-        .select(col("doc_id"), lit("corpus_dup").as("status"))
-      val rest = bsha.join(csha, Seq("sha"), "left_anti")
-      val firsts = rest.groupBy("sha").agg(min("doc_id").as("first_id"))
-      val restStatus = rest.join(firsts, "sha")
-        .select(col("doc_id"),
-          when(col("doc_id") === col("first_id"), "fresh")
-            .otherwise("batch_dup").as("status"))
-      corpusDup.unionAll(restStatus).orderBy("doc_id")
+      Dedup.incrementalIngest(docs, batch, "doc_id", "text")
+        .orderBy("doc_id")
     }),
     // FLAGSHIP COMPOSITION — the end-to-end training-corpus pipeline a
     // user of this engine actually runs, as ONE query: exact dedup

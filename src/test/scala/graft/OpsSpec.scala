@@ -693,6 +693,51 @@ class OpsSpec extends AnyFunSuite {
     assert(probes.forall(identity), "members must always probe true")
   }
 
+  test("incremental ingest: bloom-of-batch pre-filter exact vs brute-force classes") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val batch =
+      docs.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 500000).as("doc_id"), col("text"))
+      .unionAll(docs.filter(col("doc_id") % 3 === 1)
+        .select((col("doc_id") + 600000).as("doc_id"),
+          concat(col("text"), lit(" fresh tail")).as("text")))
+      .unionAll(docs.filter(col("doc_id") % 3 === 1)
+        .select((col("doc_id") + 700000).as("doc_id"),
+          concat(col("text"), lit(" fresh tail")).as("text")))
+    def run(maxBloom: Long): (String, Array[(Long, String)]) = {
+      val df = Dedup.incrementalIngest(docs, batch, "doc_id", "text",
+        maxBloomItems = maxBloom)
+      (df.queryExecution.executedPlan.toString,
+        df.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status"))
+          .sortBy(_._1))
+    }
+    // bloom band present on the corpus stream; floor path identical
+    val (pB, rB) = run(Long.MaxValue)
+    assert(pB.contains("graft_bloom_contains"),
+      s"corpus sha stream must be bloom-pre-filtered:\n${pB.take(800)}")
+    val (pF, rF) = run(0L)
+    assert(!pF.contains("graft_bloom_contains"),
+      "beyond maxBloomItems the pre-filter must be skipped")
+    assert(rB.sameElements(rF), "bloom must not change the classification")
+    // brute-force driver oracle (handles corpus-internal text twins):
+    // in-corpus text → corpus_dup; else min-id per text → fresh;
+    // later same-text rows → batch_dup
+    val corpusTexts = docs.collect().map(_.getString(1)).toSet
+    val batchRows = batch.collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val firstOf = batchRows.filterNot(r => corpusTexts(r._2))
+      .groupBy(_._2).map { case (t, rs) => t -> rs.map(_._1).min }
+    val expected = batchRows.map { case (id, t) =>
+      id -> (if (corpusTexts(t)) "corpus_dup"
+             else if (firstOf(t) == id) "fresh" else "batch_dup")
+    }
+    assert(rB.sameElements(expected))
+    // every class is actually exercised by the plants
+    val classes = rB.map(_._2).toSet
+    assert(classes == Set("corpus_dup", "batch_dup", "fresh"), classes.toString)
+  }
+
   test("rare-token ratio: corpus-DF-driven, exact against a driver recount") {
     val out = OpsQueries.all("t10_rare_tokens")(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") ->

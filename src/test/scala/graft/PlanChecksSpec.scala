@@ -84,6 +84,12 @@ class PlanChecksSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastHashJoin"), p.take(800))
   }
 
+  test("d11: corpus sha stream is bloom-of-batch pre-filtered before the semi-join") {
+    val p = plan("d11_incremental_ingest")
+    assert(p.contains("graft_bloom_contains"),
+      s"the 100 TB corpus side must not shuffle blindly each increment:\n${p.take(800)}")
+  }
+
   test("scrub ops (t6/t7/u1/t8/x13) are row-local: no join/window, only the sort exchange") {
     // x13 rides along: outlink explode is a Generate over the scan,
     // never a join
