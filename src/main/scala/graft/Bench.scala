@@ -177,15 +177,8 @@ object Bench {
 
     // cumulative scaling record (VERDICT r2 #7): one JSONL line per
     // pair run, valid or not, with its steal window
-    val historyPath = sys.env.getOrElse("SPARK_GRAFT_HISTORY", "scaling_history.jsonl")
-    try {
-      val w = new java.io.FileWriter(historyPath, true)
-      try scaleRuns.foreach { r =>
-        w.write(f"""{"ts_ms":${System.currentTimeMillis()},"cores_per_executor":8,"bench_docs":$nDocs,"efficiency":${r.efficiency}%.4f,"strong_efficiency":${r.strongEfficiency}%.4f,"t_alone":${r.tAlone}%.3f,"t_4n":${r.t4N}%.3f,"t_full":${r.tFull}%.3f,"checksum_match":${r.checksumMatch},"steal_pct":${r.stealPct}%.3f,"steal_alone_pct":${r.stealAlonePct}%.3f,"steal_4n_pct":${r.steal4nPct}%.3f,"steal_full_pct":${r.stealFullPct}%.3f,"valid":${r.valid}}%n""")
-      } finally w.close()
-    } catch { case e: Exception =>
-      System.err.println(s"[bench] history append failed: ${e.getMessage}")
-    }
+    ScalePair.appendHistory(
+      scaleRuns.toSeq.map(r => ScalePair.historyLine(r, nDocs, cores = 8)))
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

@@ -257,11 +257,37 @@ object ScalePair {
       stealAlonePct = stealAlone, steal4nPct = steal4n, stealFullPct = stealFull)
   }
 
+  /** One cumulative-record JSONL line per pair run — shared by Bench's
+    * in-capture appends and the standalone `main` below, so a
+    * calm-window standalone run reaches the committed history instead
+    * of evaporating on stdout (the r5 gap: six standalone runs printed
+    * and were lost until hand-appended). The two per-leg doc rates
+    * ride along for the turbo-skew diagnosis BASELINE.md describes
+    * (the honest summary is the pair of rates, not the ratio alone). */
+  def historyLine(r: Result, benchDocs: Long, cores: Int): String =
+    f"""{"ts_ms":${System.currentTimeMillis()},"cores_per_executor":$cores,"bench_docs":$benchDocs,"efficiency":${r.efficiency}%.4f,"strong_efficiency":${r.strongEfficiency}%.4f,"n_docs_per_sec":${r.nDocsPerSec}%.1f,"n4_docs_per_sec":${r.n4DocsPerSec}%.1f,"t_alone":${r.tAlone}%.3f,"t_4n":${r.t4N}%.3f,"t_full":${r.tFull}%.3f,"checksum_match":${r.checksumMatch},"steal_pct":${r.stealPct}%.3f,"steal_alone_pct":${r.stealAlonePct}%.3f,"steal_4n_pct":${r.steal4nPct}%.3f,"steal_full_pct":${r.stealFullPct}%.3f,"valid":${r.valid}}"""
+
+  /** Append lines to the cumulative record (best-effort — a read-only
+    * checkout must not fail the measurement that produced the data). */
+  def appendHistory(lines: Seq[String],
+                    path: String = sys.env.getOrElse("SPARK_GRAFT_HISTORY",
+                      "scaling_history.jsonl")): Unit =
+    try {
+      val w = new java.io.FileWriter(path, true)
+      try lines.foreach(l => w.write(l + System.lineSeparator()))
+      finally w.close()
+    } catch { case e: Exception =>
+      System.err.println(s"[scalepair] history append failed: ${e.getMessage}")
+    }
+
   def main(args: Array[String]): Unit = {
     val stage = args.headOption.getOrElse("/tmp/graft-bench-pages-480000")
     val cores = args.lift(1).map(_.toInt).getOrElse(8)
     val reps = args.lift(2).map(_.toInt).getOrElse(3)
     val r = run(stage, cores = cores, reps = reps)
+    // the staged dir is named .../graft-bench-pages-<nDocs> by Bench
+    val nDocs = "([0-9]+)$".r.findFirstIn(stage).map(_.toLong).getOrElse(480000L)
+    appendHistory(Seq(historyLine(r, benchDocs = nDocs, cores = cores)))
     println(f"""{"metric":"scaling","cores_per_executor":$cores,"n_docs_per_sec":${r.nDocsPerSec}%.1f,"n4_docs_per_sec":${r.n4DocsPerSec}%.1f,"efficiency":${r.efficiency}%.3f,"strong_efficiency":${r.strongEfficiency}%.3f,"checksum_match":${r.checksumMatch},"t_alone":${r.tAlone}%.2f,"t_4n":${r.t4N}%.2f,"t_full":${r.tFull}%.2f,"steal_pct":${r.stealPct}%.3f,"steal_alone_pct":${r.stealAlonePct}%.3f,"steal_4n_pct":${r.steal4nPct}%.3f,"steal_full_pct":${r.stealFullPct}%.3f,"valid":${r.valid}}""")
   }
 }
