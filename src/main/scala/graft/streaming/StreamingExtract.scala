@@ -144,6 +144,61 @@ object StreamingExtract {
       }
   }
 
+  // --- streaming incremental ingestion (corpus + in-stream dedup) -------
+
+  // public: Catalyst codegen instantiates encoder accessors reflectively
+  final case class IngestDoc(doc_id: Long, text_sha: String, in_corpus: Boolean)
+  final case class IngestEvent(text_sha: String, doc_id: Long, status: String)
+
+  /** Streaming twin of `Dedup.incrementalIngest`: a continuous feed of
+    * new documents classified against a STATIC corpus snapshot plus
+    * in-stream first-wins state —
+    *   `corpus_dup` (hash already in the corpus), `batch_dup` (an
+    *   earlier stream arrival had the hash), `fresh` (first anywhere).
+    *
+    * Shape: one stream-static LEFT join against the corpus's distinct
+    * sha set (stateless — the static side is a compact 32-byte-key
+    * table, re-read per micro-batch, broadcast when small), then the
+    * same per-hash `flatMapGroupsWithState` as [[dedupStream]]; state
+    * is one (first_id, count) pair per distinct NON-corpus hash —
+    * corpus hits never touch the store, so resident state scales with
+    * the novel slice of the stream, not the corpus. Keeper semantics
+    * across micro-batches are streaming first-arrival-wins (within a
+    * batch, min doc_id — deterministic), matching `dedupStream`; the
+    * batch operator's min-id rule coincides when arrivals are id-
+    * ordered, which the spec exercises. */
+  def ingestStream(batch: Dataset[HashedDoc], corpusShas: DataFrame): Dataset[IngestEvent] = {
+    import batch.sparkSession.implicits._
+    val corpus = corpusShas.select(col("text_sha")).distinct()
+      .withColumn("in_corpus", lit(true))
+    val marked = batch.toDF()
+      .join(corpus, Seq("text_sha"), "left_outer")
+      .select(col("doc_id"), col("text_sha"),
+        coalesce(col("in_corpus"), lit(false)).as("in_corpus"))
+      .as[IngestDoc]
+    marked.groupByKey(_.text_sha)
+      .flatMapGroupsWithState[SeenState, IngestEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (sha: String, it: Iterator[IngestDoc], state: GroupState[SeenState]) =>
+          val sorted = it.toSeq.sortBy(_.doc_id)
+          val out = scala.collection.mutable.ArrayBuffer.empty[IngestEvent]
+          var st = state.getOption
+          sorted.foreach { d =>
+            if (d.in_corpus) out += IngestEvent(sha, d.doc_id, "corpus_dup")
+            else st match {
+              case None =>
+                out += IngestEvent(sha, d.doc_id, "fresh")
+                st = Some(SeenState(d.doc_id, 1L))
+              case Some(s) =>
+                out += IngestEvent(sha, d.doc_id, "batch_dup")
+                st = Some(SeenState(s.first_id, s.n + 1))
+            }
+          }
+          st.foreach(state.update)
+          out.iterator
+      }
+  }
+
   // --- stateful streaming NEAR-dup (MinHash-LSH) ------------------------
 
   final case class SigDoc(doc_id: Long, sig: Array[Long])

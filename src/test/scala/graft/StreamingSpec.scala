@@ -233,6 +233,49 @@ class StreamingSpec extends AnyFunSuite {
       s"stream keepers $streamDupOf != batch keep_ids $batchKeep")
   }
 
+  test("streaming incremental ingest == batch incrementalIngest classes") {
+    import spark.implicits._
+    val src = tmp("ingest")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // the d11 plants: corpus re-arrivals (+500000), twice-arriving new
+    // texts (+600000 fresh / +700000 batch-dup)
+    val batchDf =
+      docs.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 500000).as("doc_id"), col("text"))
+      .unionAll(docs.filter(col("doc_id") % 3 === 1)
+        .select((col("doc_id") + 600000).as("doc_id"),
+          concat(col("text"), lit(" fresh tail")).as("text")))
+      .unionAll(docs.filter(col("doc_id") % 3 === 1)
+        .select((col("doc_id") + 700000).as("doc_id"),
+          concat(col("text"), lit(" fresh tail")).as("text")))
+    val expected = graft.ops.Dedup.incrementalIngest(docs, batchDf, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status"))
+      .sortBy(_._1)
+    // stream the same batch in TWO id-ordered triggers (so streaming
+    // first-arrival-wins coincides with the batch min-id rule): the
+    // +700000 re-arrivals land strictly after their +600000 twins
+    val bsha = batchDf.select(col("doc_id"), sha2(col("text"), 256).as("text_sha"))
+    bsha.filter(col("doc_id") < 650000).write.mode("append").parquet(src)
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, text_sha STRING")
+      .parquet(src).as[StreamingExtract.HashedDoc]
+    val corpusShas = docs.select(sha2(col("text"), 256).as("text_sha"))
+    val q = StreamingExtract.ingestStream(stream, corpusShas)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ingeststream")
+      .start()
+    q.processAllAvailable()
+    bsha.filter(col("doc_id") >= 650000).write.mode("append").parquet(src)
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("SELECT doc_id, status FROM ingeststream").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    assert(got.sameElements(expected),
+      s"stream classes diverge from batch (got ${got.length}, want ${expected.length})")
+    // all three classes exercised
+    assert(got.map(_._2).toSet == Set("corpus_dup", "batch_dup", "fresh"))
+  }
+
   test("stateful sessionization via flatMapGroupsWithState") {
     import spark.implicits._
     val src = tmp("sess")
