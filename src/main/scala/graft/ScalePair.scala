@@ -115,8 +115,36 @@ object ScalePair {
     * This raises the fraction of pairs that land in clean windows —
     * it never edits the record (poisoned pairs that slip through are
     * still appended and self-identify via their steal markers). */
+  @volatile private var spinSink: Long = 0L // defeats loop elision
+
+  /** Burn every core for `ms` — the probe load for [[awaitCalm]].
+    * Measured r5: this host's steal is LOAD-DEPENDENT — an idle probe
+    * window reads 0.000% while a simultaneous 32-core burst reads
+    * 2-10% (six consecutive standalone pairs pre-flighted at ~0% idle
+    * steal all landed on 2.3-9.1% 4N-window steal). An idle probe is
+    * therefore structurally blind to exactly the weather that poisons
+    * the 4N leg; probing under full-width load measures the quantity
+    * the measurement will experience. */
+  private def busySpin(ms: Long): Unit = {
+    val deadline = System.nanoTime() + ms * 1000000L
+    val n = Runtime.getRuntime.availableProcessors()
+    val ts = (1 until n).map { _ =>
+      val t = new Thread(() => {
+        var x = 0L
+        while (System.nanoTime() < deadline) x += 1
+        spinSink = x
+      })
+      t.setDaemon(true); t.start(); t
+    }
+    var x = 0L
+    while (System.nanoTime() < deadline) x += 1
+    spinSink = x
+    ts.foreach(_.join())
+  }
+
   def awaitCalm(thresholdPct: Double = 0.3, probeMs: Long = 2000,
-                backoffMs: Long = 15000, maxWaitMs: Long = 120000): Double = {
+                backoffMs: Long = 15000, maxWaitMs: Long = 120000,
+                loaded: Boolean = true): Double = {
     val t0 = System.nanoTime()
     var last = -1.0
     var first = true
@@ -124,7 +152,8 @@ object ScalePair {
         (System.nanoTime() - t0) / 1e6 < maxWaitMs)) {
       if (!first) Thread.sleep(backoffMs)
       first = false
-      val (_, pct) = withSteal(Thread.sleep(probeMs))
+      val (_, pct) = withSteal(
+        if (loaded) busySpin(probeMs) else Thread.sleep(probeMs))
       last = pct
       if (last < 0) return last // /proc/stat unreadable — nothing to wait on
     }
@@ -284,6 +313,9 @@ object ScalePair {
     val stage = args.headOption.getOrElse("/tmp/graft-bench-pages-480000")
     val cores = args.lift(1).map(_.toInt).getOrElse(8)
     val reps = args.lift(2).map(_.toInt).getOrElse(3)
+    // same loaded-probe pre-flight Bench uses before its pairs
+    val pre = awaitCalm()
+    System.err.println(f"[scalepair] pre-flight loaded-steal $pre%.3f%%")
     val r = run(stage, cores = cores, reps = reps)
     // the staged dir is named .../graft-bench-pages-<nDocs> by Bench
     val nDocs = "([0-9]+)$".r.findFirstIn(stage).map(_.toLong).getOrElse(480000L)
