@@ -33,6 +33,12 @@ object OpsQueries {
         concat(col("text"), lit(" zz qq xx")).as("text")))
   }
 
+  /** t15's deterministic blocklist — ONE definition feeds both the
+    * engine's broadcast table and the oracle's IN list (coupling by
+    * construction, like d7b's shared oracle string). */
+  private[ops] val blockedHostList: Seq[String] =
+    Seq.tabulate(8)(i => s"site${i * 12 + 1}.example.com")
+
   /** embeddings ∪ exact copies (vec_id+100000, every 9th vector). */
   private def embWithDups(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings").select("vec_id", "embedding")
@@ -654,6 +660,153 @@ object OpsQueries {
           host.as("canon_host"),
           (size(parts) - size(kept)).as("n_tracking_params"))
         .orderBy("doc_id")
+    }),
+    // Gopher document-level quality rules (Rae et al. 2021, Table A1):
+    // word-count bounds, mean word length, symbol-to-word ratio (# and
+    // '...'), bullet / ellipsis line fractions, alpha-word fraction
+    // and the required-stopword count — the document-level gate that
+    // pairs with t13's line-repetition signals. Entirely row-local
+    // (split / higher-order filter / transform, codegen end to end):
+    // no shuffle before the compare sort (plan-asserted). Plants make
+    // every rule observable: every 7th doc gains bullet lines, every
+    // 11th ellipsis-terminated lines, every 13th a # symbol burst.
+    // All fractions are a SINGLE int/int division cast through DOUBLE
+    // (IEEE exact-rounded, bit-identical in DuckDB) — never a
+    // float SUM whose order could differ.
+    "t14_gopher_docs" -> ((s, dir) => {
+      val wsCls = "[ \\t\\n\\f\\r\\u000B]" // explicit whitespace class
+      val planted = concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          lit("\n- bullet item one\n- bullet item two\n- bullet item three"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          lit("\ntrailing thought...\nanother unfinished idea..."))
+          .otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          lit("\n## ### # heading # noise ##")).otherwise(lit("")))
+      val lines = split(planted, "\n")
+      val words = split(trim(planted), wsCls + "+")
+      val nWords = size(words).cast("long")
+      val nLines = size(lines).cast("long")
+      val wordChars =
+        length(regexp_replace(planted, wsCls, "")).cast("long")
+      val nHash =
+        (length(planted) - length(regexp_replace(planted, "#", ""))).cast("long")
+      val nEll =
+        ((length(planted) - length(regexp_replace(planted, "\\.\\.\\.", ""))) / lit(3))
+          .cast("long")
+      val nBullet = size(filter(lines, l =>
+        startswith(l, lit("- ")) || startswith(l, lit("• ")))).cast("long")
+      val nEllLines = size(filter(lines, l =>
+        endswith(l, lit("...")) || endswith(l, lit("…")))).cast("long")
+      val nAlpha = size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long")
+      val stops = array(Seq("the", "be", "to", "of", "and", "that", "have",
+        "with").map(lit): _*)
+      val nStop = size(array_intersect(
+        array_distinct(transform(words, w => lower(w))), stops)).cast("long")
+      val meanWordLen = wordChars.cast("double") / nWords.cast("double")
+      val symbolRatio = (nHash + nEll).cast("double") / nWords.cast("double")
+      val fracBullet = nBullet.cast("double") / nLines.cast("double")
+      val fracEllLines = nEllLines.cast("double") / nLines.cast("double")
+      val fracAlpha = nAlpha.cast("double") / nWords.cast("double")
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          nWords.as("n_words"), nLines.as("n_lines"),
+          meanWordLen.as("mean_word_len"),
+          symbolRatio.as("symbol_ratio"),
+          fracBullet.as("frac_bullet_lines"),
+          fracEllLines.as("frac_ellipsis_lines"),
+          fracAlpha.as("frac_alpha_words"),
+          nStop.as("n_stop_hits"))
+        .withColumn("keep_doc",
+          col("n_words") >= 50 && col("n_words") <= 100000 &&
+            col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+            col("symbol_ratio") < 0.1 &&
+            col("frac_bullet_lines") <= 0.9 &&
+            col("frac_ellipsis_lines") <= 0.3 &&
+            col("frac_alpha_words") >= 0.8 &&
+            col("n_stop_hits") >= 2)
+        .orderBy("doc_id")
+    }),
+    // UT1-style URL / host blocklist filter (the crawl-hygiene step
+    // before any content-quality work: adult/malware domain lists,
+    // banned URL terms). The blocklist is a TABLE, not a literal —
+    // at scale it is the canonical small-dimension side (UT1 ships
+    // ~4M hosts), so the shape is a guarded BROADCAST left join on
+    // host (plan-asserted) + a row-local banned-term predicate;
+    // the corpus side never shuffles. Host-block takes precedence
+    // over term-block, mirrored exactly in the oracle's CASE.
+    "t15_url_blocklist" -> ((s, dir) => {
+      import s.implicits._
+      val blockedHosts = OpsQueries.blockedHostList.toDF("bhost")
+      val url = concat(lit("https://site"), col("doc_id") % 97,
+        lit(".example.com/p/"), col("doc_id"),
+        when(col("doc_id") % 23 === 0, lit("?x=casino-bonus"))
+          .when(col("doc_id") % 29 === 0, lit("/free-download.html"))
+          .otherwise(lit("")))
+      val docs = t(s, dir, "documents").select(col("doc_id"), url.as("url"))
+        .withColumn("host",
+          regexp_extract(col("url"), "^[a-z]+://([^/?#]+)", 1))
+      docs.join(broadcast(blockedHosts), col("host") === col("bhost"),
+          "left_outer")
+        .select(col("doc_id"), col("url"), col("host"),
+          when(col("bhost").isNotNull, lit("blocked_host"))
+            .when(col("url").contains("casino") ||
+              col("url").contains("free-download"), lit("blocked_term"))
+            .otherwise(lit("ok")).as("status"))
+        .orderBy("doc_id")
+    }),
+    // language-temperature corpus balancing (the multilingual-mix
+    // step: small languages are UP-weighted relative to the head so
+    // the sample isn't English-only; α=0.5 temperature = sqrt of the
+    // size ratio). Integer-exact by construction: keep_thresh =
+    // floor(2^20 · sqrt(n_l / n_max)) — the ratio and sqrt are single
+    // IEEE correctly-rounded ops and ·2^20 is exact, so DuckDB
+    // reproduces the threshold bit-for-bit; the per-doc gate is
+    // splitmix64(doc_id) mod 2^20 (retry- and cluster-size-stable,
+    // like t8's split). Scale shape: two tiny aggregates (langs,
+    // then a 1-row max) broadcast back onto the corpus — the
+    // 10^12-doc side streams through ONE broadcast hash join, no
+    // shuffle (plan-asserted).
+    "t16_lang_sample" -> ((s, dir) => {
+      GraftSession.register(s)
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      val maxN = counts.agg(max("n_docs").as("max_docs"))
+      val weights = counts.crossJoin(broadcast(maxN))
+        .withColumn("keep_thresh",
+          floor(lit(1048576.0) *
+            sqrt(col("n_docs").cast("double") / col("max_docs").cast("double")))
+            .cast("long"))
+      docs.join(broadcast(weights), "lang")
+        .withColumn("gate",
+          call_function("graft_mix64", col("doc_id"))
+            .bitwiseAND(lit(1048575L)))
+        .select(col("doc_id"), col("lang"), col("n_docs"), col("keep_thresh"),
+          col("gate"), (col("gate") < col("keep_thresh")).as("kept"))
+        .orderBy("doc_id")
+    }),
+    // host-graph connected components, driver-exercised directly
+    // (d6 exercises Dedup.connectedComponents only through the
+    // minhash-pair path): the crawl-analytics "site islands" view
+    // over a deterministic mirror-host graph — node h{i} links to
+    // h{(i+6) mod 60}, so the components are exactly the congruence
+    // classes mod gcd(6,60)=6 and min-label propagation must walk a
+    // 10-ring's diameter to converge (a real multi-round iteration,
+    // unlike near-dup star clusters). Oracle = recursive-CTE
+    // min-reachable-label closure, d6's pattern on a formulaic graph.
+    "g3_host_components" -> ((s, dir) => {
+      val nodes = t(s, dir, "documents")
+        .select((col("doc_id") % 60).as("id")).distinct()
+      val edges = nodes.select(col("id").as("id_a"),
+        ((col("id") + 6) % 60).as("id_b"))
+      val cc = Dedup.connectedComponents(edges)
+      val sizes = cc.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+      cc.join(sizes, "component")
+        .select(col("id").as("node_id"),
+          concat(lit("h"), col("id")).as("host"),
+          col("component").as("canon_id"), col("cluster_size"))
+        .orderBy("node_id")
     }),
     // multimodal: real image/audio decode (stub video) + feature schema
     // + frame sample
@@ -1297,6 +1450,106 @@ object OpsQueries {
         | CAST(SUM(CASE WHEN cnt > 1 THEN cnt * chars ELSE 0 END) AS DOUBLE)
         |   / CAST(SUM(cnt * chars) AS DOUBLE) AS dup_char_frac
         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // t14: the same plants and rules from first principles; every
+    // fraction is one int/int division through DOUBLE (bit-exact),
+    // whitespace is the explicit Java-\s class (never \s), and the
+    // '...' count divides a len-diff by 3 with INTEGER division (//
+    // here, /-then-cast on the Spark side — both exact since the
+    // diff is a multiple of 3).
+    "t14_gopher_docs" ->
+      """WITH planted AS (
+        | SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 7 = 0 THEN chr(10) || '- bullet item one' || chr(10) || '- bullet item two' || chr(10) || '- bullet item three' ELSE '' END ||
+        |  CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'trailing thought...' || chr(10) || 'another unfinished idea...' ELSE '' END ||
+        |  CASE WHEN doc_id % 13 = 0 THEN chr(10) || '## ### # heading # noise ##' ELSE '' END AS x
+        | FROM documents),
+        |f AS (
+        | SELECT doc_id,
+        |  string_split(x, chr(10)) AS lines,
+        |  regexp_split_to_array(trim(x), '[ \t\n\f\r\x{0B}]+') AS w,
+        |  len(regexp_replace(x, '[ \t\n\f\r\x{0B}]', '', 'g')) AS word_chars,
+        |  len(x) - len(regexp_replace(x, '#', '', 'g')) AS n_hash,
+        |  (len(x) - len(regexp_replace(x, '\.\.\.', '', 'g'))) // 3 AS n_ell
+        | FROM planted),
+        |g AS (
+        | SELECT doc_id,
+        |  len(w) AS n_words, len(lines) AS n_lines,
+        |  CAST(word_chars AS DOUBLE) / CAST(len(w) AS DOUBLE) AS mean_word_len,
+        |  CAST(n_hash + n_ell AS DOUBLE) / CAST(len(w) AS DOUBLE) AS symbol_ratio,
+        |  CAST(len(list_filter(lines, l -> starts_with(l, '- ') OR starts_with(l, '• '))) AS DOUBLE)
+        |    / CAST(len(lines) AS DOUBLE) AS frac_bullet_lines,
+        |  CAST(len(list_filter(lines, l -> ends_with(l, '...') OR ends_with(l, '…'))) AS DOUBLE)
+        |    / CAST(len(lines) AS DOUBLE) AS frac_ellipsis_lines,
+        |  CAST(len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+        |    / CAST(len(w) AS DOUBLE) AS frac_alpha_words,
+        |  len(list_intersect(list_distinct(list_transform(w, t -> lower(t))),
+        |      ['the','be','to','of','and','that','have','with'])) AS n_stop_hits
+        | FROM f)
+        |SELECT doc_id, n_words, n_lines, mean_word_len, symbol_ratio,
+        | frac_bullet_lines, frac_ellipsis_lines, frac_alpha_words, n_stop_hits,
+        | (n_words >= 50 AND n_words <= 100000
+        |  AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |  AND symbol_ratio < 0.1
+        |  AND frac_bullet_lines <= 0.9
+        |  AND frac_ellipsis_lines <= 0.3
+        |  AND frac_alpha_words >= 0.8
+        |  AND n_stop_hits >= 2) AS keep_doc
+        |FROM g ORDER BY doc_id""".stripMargin,
+    // t15: same URL plants; the IN list is interpolated from the ONE
+    // blockedHostList definition the engine broadcasts (coupled by
+    // construction); host-block precedence mirrored in CASE order.
+    "t15_url_blocklist" ->
+      s"""WITH u AS (
+         | SELECT doc_id,
+         |  'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example.com/p/' || CAST(doc_id AS VARCHAR) ||
+         |  CASE WHEN doc_id % 23 = 0 THEN '?x=casino-bonus'
+         |       WHEN doc_id % 29 = 0 THEN '/free-download.html'
+         |       ELSE '' END AS url
+         | FROM documents),
+         |h AS (SELECT doc_id, url,
+         |        regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host FROM u)
+         |SELECT doc_id, url, host,
+         | CASE WHEN host IN (${blockedHostList.map(h => s"'$h'").mkString(",")})
+         |        THEN 'blocked_host'
+         |      WHEN contains(url, 'casino') OR contains(url, 'free-download')
+         |        THEN 'blocked_term'
+         |      ELSE 'ok' END AS status
+         |FROM h ORDER BY doc_id""".stripMargin,
+    // t16: the threshold is floor(2^20·sqrt(n/max)) — both engines do
+    // the identical single division, single sqrt (IEEE correctly
+    // rounded) and an EXACT power-of-two scale, so no float-sum-order
+    // hazard exists; the gate reuses t8's splitmix64 CTE pipeline and
+    // masks the low 20 bits (identical to the engine's signed & on
+    // two's-complement longs).
+    "t16_lang_sample" ->
+      s"""WITH counts AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+         |mxx AS (SELECT MAX(n_docs) AS max_docs FROM counts),
+         |w AS (SELECT lang, n_docs,
+         |  CAST(floor(1048576.0 * sqrt(CAST(n_docs AS DOUBLE) / CAST(max_docs AS DOUBLE))) AS BIGINT) AS keep_thresh
+         | FROM counts, mxx),
+         |m0 AS (SELECT doc_id, lang, CAST(doc_id AS UBIGINT) AS x FROM documents),
+         |${mixCtes("m0", "x", "lsmp", "mxv", "doc_id, lang")},
+         |g AS (SELECT doc_id, lang, CAST((mxv & 1048575) AS BIGINT) AS gate
+         |      FROM lsmp_out)
+         |SELECT g.doc_id, g.lang, w.n_docs, w.keep_thresh, g.gate,
+         | g.gate < w.keep_thresh AS kept
+         |FROM g JOIN w USING (lang) ORDER BY doc_id""".stripMargin,
+    // g3: d6's recursive min-reachable-label closure on the formulaic
+    // mirror-host ring graph (undirected via the UNION'd reverse).
+    "g3_host_components" ->
+      """WITH RECURSIVE nodes AS (SELECT DISTINCT doc_id % 60 AS id FROM documents),
+        |e0 AS (SELECT id AS a, (id + 6) % 60 AS b FROM nodes),
+        |edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+        |reach(id, lab) AS (
+        | SELECT id, id FROM nodes
+        | UNION
+        | SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.id),
+        |comp AS (SELECT id, MIN(lab) AS canon_id FROM reach GROUP BY id),
+        |sizes AS (SELECT canon_id, COUNT(*) AS cluster_size FROM comp GROUP BY canon_id)
+        |SELECT c.id AS node_id, 'h' || CAST(c.id AS VARCHAR) AS host,
+        | c.canon_id, s.cluster_size
+        |FROM comp c JOIN sizes s USING (canon_id)
+        |ORDER BY node_id""".stripMargin,
     "t11_host_stats" ->
       """SELECT source,
         | COUNT(*) AS n_docs,

@@ -954,4 +954,79 @@ class OpsSpec extends AnyFunSuite {
       java.util.Arrays.copyOfRange(avi, 0, 20))).toDS()).collect().head
     assert(trunc2.decode_error == "bad video")
   }
+
+  test("g3 ring graph: components are exactly the congruence classes mod 6") {
+    // nodes 0..59 with edges i → (i+6) mod 60: gcd(6,60)=6 rings of
+    // 10 — min-label propagation must walk a real multi-round
+    // diameter, and the canonical label of node i is provably i mod 6
+    import spark.implicits._
+    val nodes = (0L until 60L).toDF("id")
+    val edges = nodes.select(col("id").as("id_a"),
+      ((col("id") + 6) % 60).as("id_b"))
+    val cc = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == 60)
+    (0L until 60L).foreach { i =>
+      assert(cc(i) == i % 6, s"node $i: got ${cc(i)}, want ${i % 6}")
+    }
+  }
+
+  test("t16 language-temperature sampling matches a driver-side recompute") {
+    val out = OpsQueries.all("t16_lang_sample")(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val counts = docs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val maxN = counts.values.max
+    val thresh = counts.view.mapValues(n =>
+      math.floor(1048576.0 * math.sqrt(n.toDouble / maxN.toDouble)).toLong).toMap
+    assert(out.length == docs.length)
+    out.foreach { r =>
+      val (id, lang) = (r.getLong(0), r.getString(1))
+      val gate = graft.expr.Hash64.mix(id) & 1048575L
+      assert(r.getLong(3) == thresh(lang), s"thresh for $lang")
+      assert(r.getLong(4) == gate, s"gate for doc $id")
+      assert(r.getBoolean(5) == (gate < thresh(lang)), s"kept for doc $id")
+    }
+    // the head language is never down-sampled (thresh = 2^20 ≥ any gate)
+    val headLang = counts.maxBy(_._2)._1
+    assert(out.filter(_.getString(1) == headLang).forall(_.getBoolean(5)),
+      "every head-language doc must be kept")
+    // at least one minority language actually drops docs (temperature
+    // is doing something on this corpus)
+    assert(out.exists(r => !r.getBoolean(5)), "some doc must be dropped")
+  }
+
+  test("t14 plants fire: bullet/ellipsis/symbol rules observable per modulus") {
+    val out = OpsQueries.all("t14_gopher_docs")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    out.foreach { case (id, r) =>
+      val fracBullet = r.getDouble(5)
+      val fracEll = r.getDouble(6)
+      if (id % 7 == 0) assert(fracBullet > 0.0, s"doc $id bullet plant")
+      if (id % 11 == 0) assert(fracEll > 0.0, s"doc $id ellipsis plant")
+      if (id % 13 == 0) assert(r.getDouble(4) > 0.0, s"doc $id symbol plant")
+    }
+    // plants only ADD lines: a doc hit by no plant has zero bullet frac
+    // unless its own text carries bullets — sanity: fractions in [0,1]
+    out.values.foreach { r =>
+      Seq(5, 6, 7).foreach(i =>
+        assert(r.getDouble(i) >= 0.0 && r.getDouble(i) <= 1.0))
+    }
+  }
+
+  test("t15 blocklist statuses: host precedence over term, all classes fire") {
+    val out = OpsQueries.all("t15_url_blocklist")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getString(3)))
+    val statuses = out.map(_._3).toSet
+    assert(statuses == Set("blocked_host", "blocked_term", "ok"))
+    val blocked = Set(1L, 13L, 25L, 37L, 49L, 61L, 73L, 85L)
+    out.foreach { case (id, host, status) =>
+      val hostBlocked = blocked.contains(id % 97)
+      val termHit = id % 23 == 0 || id % 29 == 0
+      val want = if (hostBlocked) "blocked_host"
+        else if (termHit) "blocked_term" else "ok"
+      assert(status == want, s"doc $id host=$host: got $status want $want")
+    }
+  }
 }

@@ -93,12 +93,27 @@ class PlanChecksSpec extends AnyFunSuite {
   test("scrub ops (t6/t7/u1/t8/x13) are row-local: no join/window, only the sort exchange") {
     // x13 rides along: outlink explode is a Generate over the scan,
     // never a join
-    Seq("t6_redact", "t7_nfc", "u1_url_canon", "t8_split", "x13_outlinks").foreach { q =>
+    // t14 rides along: the Gopher doc-quality gate is pure
+    // split/filter/transform over the scan
+    Seq("t6_redact", "t7_nfc", "u1_url_canon", "t8_split", "x13_outlinks",
+        "t14_gopher_docs").foreach { q =>
       val p = plan(q)
       val exchanges = "Exchange".r.findAllIn(p).size
       assert(exchanges <= 1, s"$q must shuffle at most once (final sort):\n${p.take(900)}")
       assert(!p.contains("Join") && !p.contains("Window"),
         s"$q must be a row-local projection over the scan")
+    }
+  }
+
+  test("t15/t16: the corpus streams against BROADCAST small sides, never sort-merges") {
+    // t15's blocklist and t16's per-lang weight table are the
+    // canonical tiny-dimension sides — at 10^12 docs a sort-merge
+    // here would shuffle the whole corpus
+    Seq("t15_url_blocklist", "t16_lang_sample").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n${p.take(900)}")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q corpus side must not sort-merge:\n${p.take(900)}")
     }
   }
 
