@@ -257,6 +257,58 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
+  /** FUZZY decontamination: flag corpus docs whose MinHash-estimated
+    * Jaccard against any eval doc reaches `minEstJaccard` — the
+    * hygiene step exact-shingle overlap (`decontaminate`) misses when
+    * the leaked eval text was paraphrased, re-wrapped, or lightly
+    * edited before landing in the crawl.
+    *
+    * Scale shape (the decon asymmetry, NOT d3's all-pairs self-join):
+    * the corpus side is linear — one `graft_minhash` pass plus a
+    * `bands`-way posexplode — and streams MAP-SIDE against the eval
+    * side's banded signatures. The eval side is bounded by
+    * construction (benchmark suites), so its bands broadcast behind
+    * the same guard discipline as `decontaminate`: count first, and
+    * above `maxEvalDocs` fall back to a shuffle equi-join (same rows,
+    * bounded memory). The corpus NEVER band-joins against itself, so
+    * cost is |corpus| + |collisions|, not |corpus|² band traffic.
+    *
+    * Determinism: signatures and band hashes are pure functions of the
+    * text; the estimate is matching positions / k — so the result is
+    * bit-identical at any parallelism and SQL-mirrorable (the d12
+    * oracle replays the full pipeline via d3's CTE machinery). */
+  def fuzzyDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+                         idCol: String, textCol: String, evalIdCol: String,
+                         k: Int = 64, bands: Int = 16,
+                         minEstJaccard: Double = 0.5,
+                         maxEvalDocs: Long = 10000000L): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val r = k / bands
+    // same <3-word sentinel discipline as minhashPairs
+    def banded(df: DataFrame, id: String, outId: String, sigName: String) =
+      df.select(col(id).as(outId),
+          call_function("graft_minhash", col(textCol)).as(sigName))
+        .filter(array_min(col(sigName)) =!= lit(Long.MaxValue))
+        .select(col(outId), col(sigName),
+          posexplode(transform(sequence(lit(0), lit(bands - 1)),
+            b => xxhash64(b, slice(col(sigName), b * lit(r) + 1, lit(r)))))
+            .as(Seq("band", "band_hash")))
+    val corpusB = banded(corpus, idCol, "id", "sig")
+    val evalB = banded(evalSet, evalIdCol, "eval_id", "eval_sig")
+    val evalSide =
+      if (evalSet.select(evalIdCol)
+            .limit(math.min(maxEvalDocs + 1, Int.MaxValue.toLong).toInt)
+            .count() <= maxEvalDocs) broadcast(evalB)
+      else evalB.hint("merge")
+    corpusB.join(evalSide, Seq("band", "band_hash"))
+      .dropDuplicates("id", "eval_id")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig"), col("eval_sig"), (x, y) => x === y),
+          b => b)).cast("double") / lit(k.toDouble))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select(col("id").as(idCol), col("eval_id"), col("est_jaccard"))
+  }
+
   /** SimHash near-dup pairs: 64-bit fingerprints banded into `chunks`
     * equal bit-slices (pigeonhole: hamming ≤ chunks−1 ⇒ at least one
     * slice equal — so `chunks` must exceed `maxHamming`), equi-join per

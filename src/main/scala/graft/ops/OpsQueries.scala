@@ -115,6 +115,25 @@ object OpsQueries {
       Dedup.decontaminate(corpus, evalSet, "doc_id", "text", minOverlap = 8,
         maxEvalShingles = 0L).orderBy("doc_id")
     }),
+    // FUZZY decontamination (d7's exact-shingle cousin): corpus docs
+    // whose MinHash-estimated Jaccard vs any eval doc reaches 0.5 —
+    // catches the paraphrased / re-wrapped eval leaks exact overlap
+    // counting misses. Contamination is planted the inverse way from
+    // d7: the EVAL copy is the mutated one (every 13th doc + a 4-word
+    // tail under eval_id+900000), so no corpus row equals any eval row
+    // exactly yet each planted pair shares nearly all its shingles.
+    // Scale shape: corpus is linear (one minhash pass) and streams
+    // map-side against the GUARDED broadcast of the bounded eval
+    // side's bands — the corpus never band-joins itself (contrast d3).
+    "d12_fuzzy_decon" -> ((s, dir) => {
+      GraftSession.register(s)
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val evalSet = docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 900000).as("eval_id"),
+          concat(col("text"), lit(" padded for eval release")).as("text"))
+      Dedup.fuzzyDecontaminate(docs, evalSet, "doc_id", "text", "eval_id")
+        .orderBy("doc_id", "eval_id")
+    }),
     // exact-substring dedup (Lee et al. 2021): per-doc duplicated
     // k-token-window stats. Contamination is planted: every 11th doc
     // re-appears under doc_id+300000 behind a 6-token fresh prefix, so
@@ -1021,19 +1040,25 @@ object OpsQueries {
        |SELECT host, rank FROM r3 ORDER BY host""".stripMargin
   }
 
-  /** The planted-near-dup corpus + per-word FNV hashes, shared by the
-    * d3/d4 oracles (exact mirror of docsWithNearDups + tokenization). */
-  private val wordHashCtes: String =
+  /** Per-word FNV hash CTEs over an arbitrary `docs` CTE body —
+    * the tokenization front half of the minhash oracle pipeline,
+    * parameterized so d12 can run it over a corpus∪eval union. */
+  private def wordHashCtesFor(docsCteBody: String): String =
     s"""docs AS (
-       | SELECT doc_id, text FROM documents
-       | UNION ALL
-       | SELECT doc_id + 100000 AS doc_id, text || ' zz qq xx' AS text
-       | FROM documents WHERE doc_id % 5 = 0),
+       |$docsCteBody),
        |wl AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM docs),
        |words AS (
        | SELECT doc_id, i AS widx, $fnvWordSql AS h
        | FROM (SELECT doc_id, unnest(range(1, len(ws)+1)) AS i, ws FROM wl),
        |      LATERAL (SELECT ws[i] AS w))""".stripMargin
+
+  /** The planted-near-dup corpus + per-word FNV hashes, shared by the
+    * d3/d4 oracles (exact mirror of docsWithNearDups + tokenization). */
+  private val wordHashCtes: String = wordHashCtesFor(
+    """ SELECT doc_id, text FROM documents
+      | UNION ALL
+      | SELECT doc_id + 100000 AS doc_id, text || ' zz qq xx' AS text
+      | FROM documents WHERE doc_id % 5 = 0""".stripMargin)
 
   /** Full MinHash+LSH recomputation: word FNV → rolling 3-gram shingle
     * hashes (mix chains) → 64 seeded permutations → per-position mins
@@ -1041,8 +1066,12 @@ object OpsQueries {
     * est_jaccard = equal positions / 64. Matches d3 bit-for-bit.
     * The ORDER-BY-less body (`d3PairsBody`) doubles as the pair
     * source nested inside d6's connected-components closure. */
-  private lazy val d3PairsBody: String =
-    s"""WITH $wordHashCtes,
+  private lazy val d3PairsBody: String = minhashPairsBodyFor(wordHashCtes)
+
+  /** The minhash/band/estimate back half over any word-hash front
+    * half (d3's bit-exact pipeline, reused verbatim by d12). */
+  private def minhashPairsBodyFor(wordCtes: String): String =
+    s"""WITH $wordCtes,
        |${mixCtes("words", "h", "m1", "mh", "doc_id, widx, h")},
        |${mixCtes("m1_out", "mh", "m2", "mmh", "doc_id, widx")},
        |tri AS (
@@ -1077,6 +1106,26 @@ object OpsQueries {
        |WHERE CAST(len(list_filter(range(1, 65), i -> sa[i] = sb[i])) AS DOUBLE) / 64.0 >= 0.5""".stripMargin
 
   private lazy val d3OracleSql: String = d3PairsBody + "\nORDER BY id_a, id_b"
+
+  /** d12: the full d3 minhash pipeline over corpus ∪ mutated-eval
+    * (+900000, 4-word tail), keeping only the crossing pairs — the
+    * engine's corpus↔eval band join produces exactly those, so the
+    * boundary filter makes the all-pairs oracle equivalent by
+    * construction (corpus ids < 900000 ≤ eval ids ⇒ id_a is always
+    * the corpus side). */
+  private lazy val d12OracleSql: String = {
+    val docsCte =
+      """ SELECT doc_id, text FROM documents
+        | UNION ALL
+        | SELECT doc_id + 900000 AS doc_id, text || ' padded for eval release' AS text
+        | FROM documents WHERE doc_id % 13 = 0""".stripMargin
+    s"""WITH cand AS (
+       |${minhashPairsBodyFor(wordHashCtesFor(docsCte))}
+       |)
+       |SELECT id_a AS doc_id, id_b AS eval_id, est_jaccard
+       |FROM cand WHERE id_a < 900000 AND id_b >= 900000
+       |ORDER BY doc_id, eval_id""".stripMargin
+  }
 
   /** Duplicate clusters = transitive closure of the d3 pair list: the
     * recursive CTE computes full reachability over the symmetrized
@@ -1340,6 +1389,7 @@ object OpsQueries {
   def oracles: Map[String, String] = Map(
     "s3_ann_ivf" -> s3OracleSql,
     "d3_minhash_lsh" -> d3OracleSql,
+    "d12_fuzzy_decon" -> d12OracleSql,
     "d6_dup_clusters" -> d6OracleSql,
     "d8_substring_dup" -> d8OracleSql,
     "d9_dedup_corpus" -> d9OracleSql,

@@ -955,6 +955,30 @@ class OpsSpec extends AnyFunSuite {
     assert(trunc2.decode_error == "bad video")
   }
 
+  test("d12 fuzzy decon: mutated-eval leaks recovered; guard fallback identical") {
+    GraftSession.register(spark)
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val evalSet = docs.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 900000).as("eval_id"),
+        concat(col("text"), lit(" padded for eval release")).as("text"))
+    val got = Dedup.fuzzyDecontaminate(docs, evalSet, "doc_id", "text", "eval_id")
+      .select("doc_id", "eval_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = docs.filter(col("doc_id") % 13 === 0).select("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 900000)).toSet
+    // the 4-word-tail mutation keeps Jaccard far above the 0.5 gate:
+    // every planted leak must be flagged even though NO corpus row
+    // exactly equals any eval row (the case exact decon misses)
+    assert(planted.subsetOf(got), s"missed leaks: ${planted -- got}")
+    // tripping the broadcast guard (shuffle fallback) changes the
+    // plan, never the rows
+    val gotFb = Dedup.fuzzyDecontaminate(docs, evalSet, "doc_id", "text",
+        "eval_id", maxEvalDocs = 0L)
+      .select("doc_id", "eval_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotFb == got)
+  }
+
   test("g3 ring graph: components are exactly the congruence classes mod 6") {
     // nodes 0..59 with edges i → (i+6) mod 60: gcd(6,60)=6 rings of
     // 10 — min-label propagation must walk a real multi-round

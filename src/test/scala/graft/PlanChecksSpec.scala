@@ -117,6 +117,15 @@ class PlanChecksSpec extends AnyFunSuite {
     }
   }
 
+  test("d12 streams the corpus against BROADCAST eval bands — no self-join") {
+    val p = plan("d12_fuzzy_decon")
+    assert(p.contains("BroadcastHashJoin"), p.take(900))
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus bands must not sort-merge:\n${p.take(900)}")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(900))
+  }
+
   test("s1 brute-force top-k is a deliberate broadcast nested loop (small query side)") {
     val p = plan("s1_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"),
