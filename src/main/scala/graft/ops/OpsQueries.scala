@@ -400,6 +400,24 @@ object OpsQueries {
         concat(lit("src"), ((col("doc_id") * 7) % 20).cast("string")).as("dst"))
       Graph.pageRank(edges, "src", "dst", iters = 3).orderBy("host")
     }),
+    // PageRank WITH dangling-mass redistribution, driver-exercised
+    // (g1 keeps the flag off): every 3rd doc's outlink lands on a sink
+    // host snk{doc_id % 5} — dst-only, so no out-edges and D > 0 every
+    // round. The per-round term (85·D) div (100·n) is ONE floored
+    // division on the GLOBAL dangling sum, identical for every node
+    // (Graph.pageRank's documented remainder-dropping rule), so the
+    // oracle mirrors it with a 1-row dangling-mass CTE per round.
+    "g1b_pagerank_dangling" -> ((s, dir) => {
+      val edges = t(s, dir, "documents").select(
+        col("source").as("src"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("snk"), (col("doc_id") % 5).cast("string")))
+          .otherwise(
+            concat(lit("src"), ((col("doc_id") * 7) % 20).cast("string")))
+          .as("dst"))
+      Graph.pageRank(edges, "src", "dst", iters = 3,
+        redistributeDangling = true).orderBy("host")
+    }),
     // incremental crawl ingestion (the continuous-pipeline discipline:
     // every new crawl batch dedups against the EXISTING corpus before
     // joining it): each batch row is classified corpus_dup (text
@@ -1040,6 +1058,46 @@ object OpsQueries {
        |SELECT host, rank FROM r3 ORDER BY host""".stripMargin
   }
 
+  /** g1b: g1's integer rounds plus the dangling term — D enters each
+    * round as a 1-row CTE (the summed rank of no-outdeg nodes), and
+    * every node gains (85·D)//(100·n), the engine's exact
+    * remainder-dropping rule. */
+  private lazy val g1bOracleSql: String = {
+    def round(i: Int, prev: String): String =
+      s"""d$i AS (
+         | SELECT COALESCE(CAST(SUM(r.rank) AS BIGINT), 0) AS dmass
+         | FROM $prev r JOIN dang g ON g.host = r.host),
+         |c$i AS (
+         | SELECT e.dst AS host,
+         |        CAST(SUM((85 * r.rank) // (100 * o.odeg)) AS BIGINT) AS contrib
+         | FROM edges e JOIN $prev r ON r.host = e.src
+         |              JOIN outdeg o ON o.src = e.src
+         | GROUP BY e.dst),
+         |r$i AS (
+         | SELECT nd.host,
+         |        CAST((15 * 1048576) // (100 * p.n) + COALESCE(c.contrib, 0)
+         |             + (85 * d.dmass) // (100 * p.n) AS BIGINT) AS rank
+         | FROM nodes nd CROSS JOIN p CROSS JOIN d$i d
+         |      LEFT JOIN c$i c ON c.host = nd.host)"""
+        .stripMargin
+    s"""WITH edges AS (
+       | SELECT source AS src,
+       |  CASE WHEN doc_id % 3 = 0 THEN 'snk' || (doc_id % 5)
+       |       ELSE 'src' || ((doc_id * 7) % 20) END AS dst
+       | FROM documents),
+       |nodes AS (SELECT DISTINCT host FROM
+       | (SELECT src AS host FROM edges UNION ALL SELECT dst FROM edges)),
+       |outdeg AS (SELECT src, COUNT(*) AS odeg FROM edges GROUP BY src),
+       |dang AS (SELECT host FROM nodes
+       |         WHERE host NOT IN (SELECT src FROM outdeg)),
+       |p AS (SELECT COUNT(*) AS n FROM nodes),
+       |r0 AS (SELECT host, 1048576 // n AS rank FROM nodes, p),
+       |${round(1, "r0")},
+       |${round(2, "r1")},
+       |${round(3, "r2")}
+       |SELECT host, rank FROM r3 ORDER BY host""".stripMargin
+  }
+
   /** Per-word FNV hash CTEs over an arbitrary `docs` CTE body —
     * the tokenization front half of the minhash oracle pipeline,
     * parameterized so d12 can run it over a corpus∪eval union. */
@@ -1418,6 +1476,7 @@ object OpsQueries {
         |FROM ranked
         |ORDER BY doc_id""".stripMargin,
     "g1_pagerank" -> g1OracleSql,
+    "g1b_pagerank_dangling" -> g1bOracleSql,
     "d4_simhash" -> d4OracleSql,
     "s2_ann_lsh" -> s2OracleSql,
     "t4_fingerprint" -> t4OracleSql,
