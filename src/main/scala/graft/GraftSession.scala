@@ -68,6 +68,10 @@ object GraftSession {
     // html | binary both accepted (BINARY→STRING cast is utf-8 decode)
     "graft_outlinks" -> (exprs =>
       graft.expr.Outlinks(Cast(exprs.head, org.apache.spark.sql.types.StringType))),
+    "graft_anchors" -> (exprs =>
+      graft.expr.Anchors(Cast(exprs.head, org.apache.spark.sql.types.StringType))),
+    "graft_meta" -> (exprs =>
+      graft.expr.MetaTags(Cast(exprs.head, org.apache.spark.sql.types.StringType))),
     "graft_shingles" -> (exprs => graft.expr.Shingles(exprs.head)),
     // positional k-token window hashes (exact-substring dedup): k is a
     // plan-time literal, coerced like graft_topk's k
@@ -108,6 +112,20 @@ object GraftSession {
       graft.expr.TopKAgg(
         Cast(exprs.head, org.apache.spark.sql.types.DoubleType),
         Cast(exprs(1), org.apache.spark.sql.types.LongType), k)
+    },
+    // HyperLogLog register aggregate (scale-safe distinct sketch):
+    // 2nd arg is the plan-time literal precision p
+    "graft_hll" -> { exprs =>
+      val p = foldableArg("graft_hll", 1, exprs(1)) match {
+        case n: java.lang.Byte => n.intValue()
+        case n: java.lang.Short => n.intValue()
+        case n: java.lang.Integer => n.intValue()
+        case n: java.lang.Long if n.longValue == n.intValue.toLong => n.intValue()
+        case other => throw new IllegalArgumentException(
+          s"graft_hll: p must be an Int-range integer literal, got $other")
+      }
+      graft.expr.HllAgg(
+        Cast(exprs.head, org.apache.spark.sql.types.LongType), p)
     })
 
   def register(spark: SparkSession): SparkSession = {

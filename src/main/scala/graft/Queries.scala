@@ -233,6 +233,35 @@ object Queries {
           posexplode(call_function("graft_outlinks", html)).as(Seq("link_idx", "href")))
         .orderBy("doc_id", "link_idx")
     }),
+    // head-metadata extraction: title / meta-description /
+    // rel=canonical / robots-noindex, row-local (graft_meta). The
+    // template varies every field by doc_id arithmetic (noindex every
+    // 4th doc) and deliberately exercises the parser's rules:
+    // attribute order reversed on the meta tag, extra whitespace in
+    // the title (collapsed), quoted values. explode(array(...)) forces
+    // ONE evaluation of the struct per row — a plain 4-field select
+    // would re-run the parse per field after projection collapse.
+    "x14_meta" -> ((s, dir) => {
+      GraftSession.register(s)
+      val html = concat(
+        lit("<html><head><title> Doc "), col("doc_id"),
+        lit("  of h"), pmod(col("doc_id"), lit(60)),
+        lit(" </title><meta content=\"Summary "), col("doc_id"),
+        lit("\" name=\"description\">"),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          lit("<meta name=\"robots\" content=\"NOINDEX, nofollow\">"))
+          .otherwise(lit("")),
+        lit("<link rel=\"canonical\" href=\"https://h"),
+        pmod(col("doc_id"), lit(60)), lit(".example/p"), col("doc_id"),
+        lit("\"></head><body><p>"), col("text"), lit("</p></body></html>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array(call_function("graft_meta", html))).as("m"))
+        .select(col("doc_id"), col("m.title").as("title"),
+          col("m.description").as("description"),
+          col("m.canonical").as("canonical"), col("m.noindex").as("noindex"))
+        .orderBy("doc_id")
+    }),
     // WARC ingestion roundtrip: the documents corpus is staged as real
     // Common-Crawl-layout .warc.gz shards (per-record gzip members,
     // warcinfo header record, HTTP response envelopes) by an
@@ -705,6 +734,16 @@ object Queries {
         |FROM documents d,
         |     (VALUES (0, '/'), (1, '/a'), (2, '#'), (3, '#')) AS l(link_idx, href)
         |ORDER BY doc_id, link_idx""".stripMargin,
+    // x14: every field predicted from the template's doc_id arithmetic
+    // (title ws collapsed by graft_meta's rule) — change the template
+    // and this together
+    "x14_meta" ->
+      """SELECT doc_id,
+        | 'Doc ' || doc_id || ' of h' || (doc_id % 60) AS title,
+        | 'Summary ' || doc_id AS description,
+        | 'https://h' || (doc_id % 60) || '.example/p' || doc_id AS canonical,
+        | (doc_id % 4 = 0) AS noindex
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // x12 must land on x6's exact prediction — same template, same
     // extraction, reached through the WARC container roundtrip
     "x12_warc_roundtrip" ->

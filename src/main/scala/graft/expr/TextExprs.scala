@@ -411,3 +411,279 @@ case class Outlinks(child: Expression)
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** `graft_anchors(html) -> ARRAY<STRUCT<href, anchor>>` — href-bearing
+  * `<a>` tags with their visible anchor text, in document order: the
+  * anchor-text primitive (inbound-anchor aggregation is a classic
+  * web-corpus signal — target-page titling/description at link-graph
+  * scale). Tag scanning is quote-aware like [[Outlinks]] (deliberately
+  * re-implemented, not shared: Outlinks' exact scan is frozen by x13's
+  * oracle and must not move under a refactor). Anchor text rules,
+  * fixed and oracle-mirrorable:
+  *   - nested tags inside the anchor are stripped (`<b>`, `<img …>`);
+  *   - a new `<a` start tag implicitly closes the open anchor (the
+  *     HTML5 rule) and is re-scanned as the next anchor;
+  *   - EOF closes an open anchor;
+  *   - whitespace runs collapse to one space, ends trimmed
+  *     (Character.isWhitespace);
+  *   - anchors without an href attribute are skipped entirely.
+  * Entities stay raw — canonicalize downstream if needed. */
+case class Anchors(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "graft_anchors"
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("href", StringType, nullable = false),
+      StructField("anchor", StringType, nullable = false))),
+    containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    val n = s.length
+    val out = new scala.collection.mutable.ArrayBuffer[Any](8)
+    @inline def isWs(c: Char) = Character.isWhitespace(c)
+    // is position i the start of an `<a ...>` tag?
+    @inline def isAnchorOpen(i: Int): Boolean =
+      s.charAt(i) == '<' && i + 1 < n &&
+        (s.charAt(i + 1) == 'a' || s.charAt(i + 1) == 'A') &&
+        (i + 2 >= n || isWs(s.charAt(i + 2)) || s.charAt(i + 2) == '>' ||
+          s.charAt(i + 2) == '/')
+    // quote-aware scan from the char after the tag name to the closing
+    // '>'; returns (hrefOrNull, index after '>')
+    def scanTag(from: Int): (String, Int) = {
+      var k = from
+      var href: String = null
+      while (k < n && s.charAt(k) != '>') {
+        val c = s.charAt(k)
+        if (c == '"' || c == '\'') {
+          k += 1
+          while (k < n && s.charAt(k) != c) k += 1
+          if (k < n) k += 1
+        } else if (href == null && isWs(c) && k + 4 < n &&
+            s.regionMatches(true, k + 1, "href", 0, 4)) {
+          var p = k + 5
+          while (p < n && isWs(s.charAt(p))) p += 1
+          if (p < n && s.charAt(p) == '=') {
+            p += 1
+            while (p < n && isWs(s.charAt(p))) p += 1
+            if (p < n && (s.charAt(p) == '"' || s.charAt(p) == '\'')) {
+              val q = s.charAt(p)
+              val st = p + 1
+              var e = st
+              while (e < n && s.charAt(e) != q) e += 1
+              href = s.substring(st, e)
+              k = math.min(e + 1, n)
+            } else {
+              val st = p
+              var e = st
+              while (e < n && !isWs(s.charAt(e)) && s.charAt(e) != '>') e += 1
+              href = s.substring(st, e)
+              k = e
+            }
+          } else k += 1
+        } else k += 1
+      }
+      (href, if (k < n) k + 1 else n)
+    }
+    var i = 0
+    while (i < n) {
+      if (isAnchorOpen(i)) {
+        val (href, bodyStart) = scanTag(i + 2)
+        // collect visible text to </a>, EOF, or an implicit-close `<a`
+        val sb = new java.lang.StringBuilder(32)
+        var lastWs = true // leading ws is dropped (trim-left as we go)
+        var j = bodyStart
+        var resume = -1
+        while (j < n && resume < 0) {
+          val c = s.charAt(j)
+          if (c == '<') {
+            if (j + 2 < n && s.charAt(j + 1) == '/' &&
+                (s.charAt(j + 2) == 'a' || s.charAt(j + 2) == 'A') &&
+                (j + 3 >= n || s.charAt(j + 3) == '>' || isWs(s.charAt(j + 3)))) {
+              var e = j + 3
+              while (e < n && s.charAt(e) != '>') e += 1
+              resume = if (e < n) e + 1 else n
+            } else if (isAnchorOpen(j)) {
+              resume = j // implicit close — re-scan as the next anchor
+            } else { // strip the nested tag, quote-aware
+              var e = j + 1
+              while (e < n && s.charAt(e) != '>') {
+                val q = s.charAt(e)
+                if (q == '"' || q == '\'') {
+                  e += 1
+                  while (e < n && s.charAt(e) != q) e += 1
+                  if (e < n) e += 1
+                } else e += 1
+              }
+              j = if (e < n) e + 1 else n
+            }
+          } else {
+            if (isWs(c)) {
+              if (!lastWs) { sb.append(' '); lastWs = true }
+            } else { sb.append(c); lastWs = false }
+            j += 1
+          }
+        }
+        if (resume < 0) resume = n
+        if (href != null) {
+          var len = sb.length()
+          if (len > 0 && sb.charAt(len - 1) == ' ') len -= 1 // trim-right
+          out += InternalRow(UTF8String.fromString(href),
+            UTF8String.fromString(sb.substring(0, len)))
+        }
+        i = resume
+      } else i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `graft_meta(html) -> STRUCT<title, description, canonical, noindex>`
+  * — head-metadata extraction, row-local: the crawl-hygiene companion
+  * to main-content extraction (title/description feed document
+  * records; rel=canonical powers URL-level dedup; meta-robots noindex
+  * is a keep/drop signal).
+  *
+  * Fixed rules (oracle-mirrorable):
+  *   - `title`: text of the FIRST `<title>` element, whitespace runs
+  *     collapsed to one space, ends trimmed; null if absent.
+  *   - `description`: `content` attribute of the first
+  *     `<meta name="description">` (attribute order-insensitive,
+  *     names case-insensitive); null if absent.
+  *   - `canonical`: `href` of the first `<link rel="canonical">`;
+  *     null if absent.
+  *   - `noindex`: true iff any `<meta name="robots">` content
+  *     contains "noindex" (case-insensitive).
+  * Attribute scanning is quote-aware like [[Outlinks]]/[[Anchors]];
+  * values may be quoted or bare. Entities stay raw. */
+case class MetaTags(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "graft_meta"
+  override def dataType: DataType = StructType(Seq(
+    StructField("title", StringType, nullable = true),
+    StructField("description", StringType, nullable = true),
+    StructField("canonical", StringType, nullable = true),
+    StructField("noindex", BooleanType, nullable = false)))
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    val n = s.length
+    @inline def isWs(c: Char) = Character.isWhitespace(c)
+    var title: String = null
+    var description: String = null
+    var canonical: String = null
+    var noindex = false
+    // parse name[=value] attribute pairs from `from` to the closing
+    // '>'; returns (lowercased-name -> raw value, index after '>')
+    def scanAttrs(from: Int): (Map[String, String], Int) = {
+      var k = from
+      val m = scala.collection.mutable.Map[String, String]()
+      while (k < n && s.charAt(k) != '>') {
+        val c = s.charAt(k)
+        if (isWs(c) || c == '/') k += 1
+        else {
+          val nameSt = k
+          while (k < n && !isWs(s.charAt(k)) && s.charAt(k) != '=' &&
+            s.charAt(k) != '>' && s.charAt(k) != '/') k += 1
+          val name = s.substring(nameSt, k).toLowerCase
+          var p = k
+          while (p < n && isWs(s.charAt(p))) p += 1
+          if (p < n && s.charAt(p) == '=') {
+            p += 1
+            while (p < n && isWs(s.charAt(p))) p += 1
+            if (p < n && (s.charAt(p) == '"' || s.charAt(p) == '\'')) {
+              val q = s.charAt(p)
+              val st = p + 1
+              var e = st
+              while (e < n && s.charAt(e) != q) e += 1
+              if (name.nonEmpty && !m.contains(name)) m(name) = s.substring(st, e)
+              k = math.min(e + 1, n)
+            } else {
+              val st = p
+              var e = st
+              while (e < n && !isWs(s.charAt(e)) && s.charAt(e) != '>') e += 1
+              if (name.nonEmpty && !m.contains(name)) m(name) = s.substring(st, e)
+              k = e
+            }
+          } else {
+            if (name.nonEmpty && !m.contains(name)) m(name) = ""
+            k = p
+          }
+        }
+      }
+      (m.toMap, if (k < n) k + 1 else n)
+    }
+    def collapse(t: String): String = {
+      val sb = new java.lang.StringBuilder(t.length)
+      var lastWs = true
+      var i = 0
+      while (i < t.length) {
+        val c = t.charAt(i)
+        if (isWs(c)) { if (!lastWs) { sb.append(' '); lastWs = true } }
+        else { sb.append(c); lastWs = false }
+        i += 1
+      }
+      var len = sb.length()
+      if (len > 0 && sb.charAt(len - 1) == ' ') len -= 1
+      sb.substring(0, len)
+    }
+    var i = 0
+    while (i < n) {
+      if (s.charAt(i) == '<') {
+        // read the tag name
+        var k = i + 1
+        while (k < n && Character.isLetter(s.charAt(k))) k += 1
+        val tag = s.substring(math.min(i + 1, n), k).toLowerCase
+        tag match {
+          case "title" =>
+            // skip to the end of the open tag, then capture to </title
+            var e = k
+            while (e < n && s.charAt(e) != '>') e += 1
+            val bodySt = if (e < n) e + 1 else n
+            var b = bodySt
+            var end = -1
+            while (b < n && end < 0) {
+              if (s.charAt(b) == '<' && b + 6 < n &&
+                  s.regionMatches(true, b, "</title", 0, 7)) end = b
+              else b += 1
+            }
+            if (end < 0) end = n
+            if (title == null) title = collapse(s.substring(bodySt, end))
+            var after = end
+            while (after < n && s.charAt(after) != '>') after += 1
+            i = if (after < n) after + 1 else n
+          case "meta" =>
+            val (attrs, after) = scanAttrs(k)
+            val nameAttr = attrs.getOrElse("name", "").toLowerCase
+            if (nameAttr == "description" && description == null)
+              description = attrs.getOrElse("content", null)
+            if (nameAttr == "robots" &&
+                attrs.getOrElse("content", "").toLowerCase.contains("noindex"))
+              noindex = true
+            i = after
+          case "link" =>
+            val (attrs, after) = scanAttrs(k)
+            if (attrs.getOrElse("rel", "").equalsIgnoreCase("canonical") &&
+                canonical == null)
+              canonical = attrs.get("href").orNull
+            i = after
+          case _ =>
+            // skip any other tag quote-aware
+            var e = k
+            while (e < n && s.charAt(e) != '>') {
+              val q = s.charAt(e)
+              if (q == '"' || q == '\'') {
+                e += 1
+                while (e < n && s.charAt(e) != q) e += 1
+                if (e < n) e += 1
+              } else e += 1
+            }
+            i = if (e < n) e + 1 else n
+        }
+      } else i += 1
+    }
+    @inline def u(x: String): UTF8String =
+      if (x == null) null else UTF8String.fromString(x)
+    InternalRow(u(title), u(description), u(canonical), noindex)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

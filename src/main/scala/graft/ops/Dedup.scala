@@ -499,4 +499,33 @@ object Dedup {
       .filter(col("cosine") >= minCosine)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
   }
+
+  /** SemDeDup (Abbas et al. 2023): semantic dedup via k-means
+    * clustering + within-cluster cosine domination. A doc is dropped
+    * iff a LOWER-id doc in its cluster is cosine-similar above the
+    * threshold (min-id keeper — the repo-wide dedup convention;
+    * the paper's keep-lowest-centroid-similarity rule is an arbitrary
+    * representative choice, min id is the deterministic,
+    * oracle-mirrorable one). Scale shape: the quadratic compare is
+    * bounded WITHIN clusters — k grows with the corpus (k ≈ n /
+    * target-cluster-size) so per-cluster work stays constant; the
+    * training loop is IvfIndex.train (integer-exact re-centering,
+    * bit-identical at any parallelism — the same property that lets
+    * the DuckDB oracle replay it), assignment is row-local against
+    * the centroid literal, and the only shuffle is the cluster-keyed
+    * self-join. Returns (vec_id, cluster, kept). */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
+               k: Int, iters: Int, minCosine: Double): DataFrame = {
+    val e = emb.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+    val cents = IvfIndex.train(e, k, iters)
+    val asg = IvfIndex.assign(e, cents)
+    val dominated = asg.as("a").join(asg.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("b.vec_id") < col("a.vec_id"))
+      .filter(Similarity.cosine(col("a.embedding"), col("b.embedding")) >= minCosine)
+      .select(col("a.vec_id").as("vec_id")).distinct()
+    asg.select("vec_id", "cluster")
+      .join(dominated.withColumn("dom__", lit(true)), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cluster"), col("dom__").isNull.as("kept"))
+  }
 }

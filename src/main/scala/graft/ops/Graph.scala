@@ -99,4 +99,81 @@ object Graph {
     e.unpersist()
     out
   }
+
+  /** INTEGER-EXACT HITS (Kleinberg 1999), `iters` rounds: hub and
+    * authority fixed point over the link graph — the complementary
+    * rank to [[pageRank]] (a page can be a poor destination but a
+    * great directory, and vice versa).
+    *
+    * Update per round, in the standard order: a'(v) = Σ_{u→v} h(u)
+    * from the CURRENT hubs, then h'(u) = Σ_{u→v} a'(v) from the NEW
+    * authorities. After each half-step, scores re-normalize to
+    * max = `scale` with ONE floored division per node
+    * (`(s·scale) div max` — max is one small agg job): the integer
+    * stand-in for normalization (textbook L2 needs sqrt — float, not
+    * oracle-mirrorable). Same fixed-point discipline as [[pageRank]]:
+    * bit-identical at any parallelism, SQL-replayable.
+    *
+    * Overflow headroom: scores are ≤ `scale` after normalization, so
+    * a raw half-step sum is ≤ indeg·scale and the rescale multiply is
+    * ≤ indeg·scale² — with the default 2^20 scale that caps safe
+    * in-degree at ~2^23 per node. For hub-heavy graphs (a CC-scale
+    * host graph can exceed that) pass a smaller `scale` (2^10 →
+    * indeg 2^43); precision cost is bounded by 1/scale per round.
+    *
+    * Scale shape per round: two equi-joins of edges against the
+    * nodes-sized score table + combiner sums — edges never self-join.
+    * Iteration hygiene mirrors [[pageRank]] (reliable-or-local
+    * checkpoint cadence, loop frames unpersisted on exit). Returns
+    * (host, hub, auth). */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int = 2, scale: Long = 1L << 20,
+           checkpointDir: Option[String] = None,
+           checkpointInterval: Int = 5): DataFrame = {
+    require(iters >= 1 && scale > 0 && checkpointInterval >= 1)
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def cp(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).persist()
+    val nodes = e.select(col("src").as("host"))
+      .union(e.select(col("dst").as("host"))).distinct().persist()
+    require(!e.isEmpty, "hits: empty graph")
+    // one small agg job per half-step; score tables are nodes-sized.
+    // Each raw frame is PERSISTED before its max-action so the next
+    // half-step reads the materialized table instead of recomputing
+    // the whole round chain; all of them release on exit.
+    val loopFrames = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    def rescale(full: DataFrame, c: String): DataFrame = {
+      val f = full.persist()
+      loopFrames += f
+      val mx = f.agg(max(c)).head().getLong(0)
+      // mx > 0 always: every edge endpoint is a node, so some node
+      // received a positive sum from the scale-initialized other side
+      f.select(col("host"), expr(s"($c * $scale) div $mx").as(c))
+    }
+    var hubs = nodes.withColumn("hub", lit(scale))
+    var auths = nodes.withColumn("auth", lit(scale))
+    (1 to iters).foreach { i =>
+      val araw = nodes.join(
+          e.join(hubs.select(col("host").as("src"), col("hub")), "src")
+            .groupBy(col("dst").as("host")).agg(sum("hub").as("auth")),
+          Seq("host"), "left_outer")
+        .select(col("host"), coalesce(col("auth"), lit(0L)).as("auth"))
+      auths = rescale(araw, "auth")
+      val hraw = nodes.join(
+          e.join(auths.select(col("host").as("dst"), col("auth")), "dst")
+            .groupBy(col("src").as("host")).agg(sum("auth").as("hub")),
+          Seq("host"), "left_outer")
+        .select(col("host"), coalesce(col("hub"), lit(0L)).as("hub"))
+      hubs = rescale(hraw, "hub")
+      if (i % checkpointInterval == 0 && i < iters) {
+        auths = cp(auths); hubs = cp(hubs)
+      }
+    }
+    val out = cp(hubs.join(auths, "host").select("host", "hub", "auth"))
+    loopFrames.foreach(_.unpersist())
+    nodes.unpersist()
+    e.unpersist()
+    out
+  }
 }

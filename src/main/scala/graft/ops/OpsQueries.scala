@@ -134,6 +134,18 @@ object OpsQueries {
       Dedup.fuzzyDecontaminate(docs, evalSet, "doc_id", "text", "eval_id")
         .orderBy("doc_id", "eval_id")
     }),
+    // d13: SemDeDup (Abbas et al. 2023) — k-means clusters bound the
+    // quadratic cosine compare; a doc is dropped iff a LOWER-id
+    // cluster-mate is cosine-similar above the threshold. Training is
+    // IvfIndex's integer-exact loop, so the oracle replays the FULL
+    // pipeline (s3's CTE machinery parameterized over the dup-planted
+    // embedding set). The 0.999999 threshold is d5's: only planted
+    // exact copies cross it, so the float boundary never decides.
+    "d13_semdedup" -> ((s, dir) => {
+      Dedup.semDedup(embWithDups(s, dir), "vec_id", "embedding",
+          k = 16, iters = 2, minCosine = 0.999999)
+        .orderBy("vec_id")
+    }),
     // exact-substring dedup (Lee et al. 2021): per-doc duplicated
     // k-token-window stats. Contamination is planted: every 11th doc
     // re-appears under doc_id+300000 behind a 6-token fresh prefix, so
@@ -629,6 +641,87 @@ object OpsQueries {
           col("n_rare").cast("double") / col("n_tokens").cast("double"))
         .orderBy("doc_id")
     }),
+    // t17: token-familiarity LM quality proxy (the integer-exact
+    // stand-in for CCNet's KenLM perplexity filter: docs whose tokens
+    // are corpus-common score high, OCR garbage / wrong-language docs
+    // score low). Per-token score = bit-length of the token's corpus
+    // document frequency (floor(log2 df)+1 — an exact integer log
+    // both engines compute identically via bin()); per-doc
+    // familiarity = mean bits over occurrences, ONE int/int division
+    // through DOUBLE. Scale shape: unlike t10 (which only needs the
+    // rare sliver), every occurrence needs its df — the join-back is
+    // SPLIT: heavy hitters (df > 64; by Zipf a tiny distinct set at
+    // any corpus size) broadcast map-side, and the remaining tail
+    // shuffle-join has per-key multiplicity bounded by 64 — no
+    // stopword key ever funnels through one reducer.
+    "t17_token_lm" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val toks = docs.select(col("doc_id"),
+        explode(split(trim(col("text")), "[ \\t\\n\\f\\r\\u000B]+")).as("tok"))
+      val perDocTok = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      val dfreq = perDocTok.groupBy("tok").agg(count(lit(1)).as("df"))
+      val headDf = 64L
+      val viaHead = perDocTok.join(
+        broadcast(dfreq.filter(col("df") > headDf)), Seq("tok"), "left_outer")
+      val hit = viaHead.filter(col("df").isNotNull)
+      val miss = viaHead.filter(col("df").isNull).drop("df")
+        .join(dfreq.filter(col("df") <= headDf), Seq("tok"))
+      hit.unionByName(miss)
+        .withColumn("bits", col("cnt") * length(bin(col("df"))))
+        .groupBy("doc_id")
+        .agg(sum("cnt").as("n_tokens"), sum("bits").as("fam_bits"))
+        .withColumn("familiarity",
+          col("fam_bits").cast("double") / col("n_tokens").cast("double"))
+        .orderBy("doc_id")
+    }),
+    // t18: per-host vocabulary sketch — HyperLogLog registers via the
+    // graft_hll partial aggregate. Exact countDistinct(tok) per host
+    // shuffles the full host×vocabulary matrix; the sketch ships 2^p
+    // bytes per host per partition and needs NO upstream distinct
+    // (register max is duplicate-insensitive). Output is the exact
+    // integer register summary (occupied count + rank sum) — the
+    // float ESTIMATE stays out of the dual-engine contract (IEEE sum
+    // order) and is accuracy-checked in OpsSpec instead.
+    "t18_host_vocab" -> ((s, dir) => {
+      GraftSession.register(s)
+      val toks = t(s, dir, "documents").select(col("source"),
+        explode(split(trim(col("text")), "[ \\t\\n\\f\\r\\u000B]+")).as("tok"))
+      toks.select(col("source"),
+          call_function("graft_mix64",
+            call_function("graft_fnv64", col("tok"))).as("mv"))
+        .groupBy("source")
+        .agg(call_function("graft_hll", col("mv"), lit(10)).as("regs"))
+        .select(col("source"),
+          size(filter(col("regs"), r => r > 0)).as("n_occupied"),
+          aggregate(col("regs"), lit(0L), (a, x) => a + x).as("reg_sum"))
+        .orderBy("source")
+    }),
+    // t19: per-host doc-length quantiles WITHOUT a global sort or
+    // percentile_approx: lengths bin into 256-char buckets row-locally
+    // (one shiftright), per-(host,bin) counts pre-aggregate map-side,
+    // and the quantile reads off the cumulative table — the only
+    // window runs over the BINNED aggregate (≤ #bins rows per host),
+    // never the corpus, so a billion-doc host costs the same window
+    // work as a thousand-doc one. Integer-exact: the f-quantile bin is
+    // the smallest bin with denom·cum >= num·n (cross-multiplied
+    // integers, no float fractions).
+    "t19_length_quantiles" -> ((s, dir) => {
+      val binned = t(s, dir, "documents")
+        .select(col("source"), shiftright(length(col("text")), 8).as("bin"))
+      val counts = binned.groupBy("source", "bin").agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("bin")
+      val cum = counts.withColumn("cum", sum("cnt").over(w))
+      val tot = counts.groupBy("source").agg(sum("cnt").as("n_docs"))
+      val j = cum.join(tot, "source")
+      val p50 = j.filter(col("cum") * 2 >= col("n_docs"))
+        .groupBy("source").agg(min("bin").as("p50_bin"))
+      val p90 = j.filter(col("cum") * 10 >= col("n_docs") * 9)
+        .groupBy("source").agg(min("bin").as("p90_bin"))
+      tot.join(p50, "source").join(p90, "source")
+        .select(col("source"), col("n_docs"), col("p50_bin"), col("p90_bin"))
+        .orderBy("source")
+    }),
     // per-host document cap (the crawl-balance step: no domain may
     // dominate the training mix). Deterministic SAMPLING, not
     // first-N: each doc's priority is splitmix64(doc_id) — stable
@@ -844,6 +937,48 @@ object OpsQueries {
           concat(lit("h"), col("id")).as("host"),
           col("component").as("canon_id"), col("cluster_size"))
         .orderBy("node_id")
+    }),
+    // g4: inbound anchor-text aggregation per target host (the classic
+    // web-corpus signal: how the web titles a page). graft_anchors
+    // pulls (href, visible text) row-locally — nested tags stripped,
+    // HTML5 implicit close, ws collapsed — then host extraction and
+    // ONE combiner-friendly groupBy(host); a million-inlink host
+    // reaches the reducer as partial rows. Link targets vary per doc
+    // (h(doc_id%60) / h((doc_id+7)%60)) so the rollup is non-trivial
+    // and the oracle predicts it from the same arithmetic.
+    "g4_anchor_stats" -> ((s, dir) => {
+      GraftSession.register(s)
+      val html = concat(
+        lit("<html><body><p>Intro text.</p><a href=\"https://h"),
+        pmod(col("doc_id"), lit(60)),
+        lit(".example/p"), col("doc_id"), lit("\">site "),
+        pmod(col("doc_id"), lit(60)),
+        lit("</a> between <a href=\"https://h"),
+        pmod(col("doc_id") + 7, lit(60)),
+        lit(".example/\"> <b>bold</b> link "), col("doc_id"),
+        lit(" </a><a name=\"x\">no href</a></body></html>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(call_function("graft_anchors", html)).as("l"))
+        .select(col("doc_id"),
+          regexp_extract(col("l.href"), "^https?://([^/]+)", 1).as("host"),
+          col("l.anchor").as("anchor"))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_inlinks"),
+          countDistinct(col("doc_id")).as("n_src_docs"),
+          countDistinct(col("anchor")).as("n_anchors"),
+          min(col("anchor")).as("first_anchor"))
+        .orderBy("host")
+    }),
+    // g5: integer-exact HITS over g1's doc graph (crawl hosts link to
+    // src{0..19} targets — hosts become hubs, targets authorities):
+    // the complementary rank to PageRank, same fixed-point discipline,
+    // 2 rounds unrolled exactly in SQL.
+    "g5_hits" -> ((s, dir) => {
+      val edges = t(s, dir, "documents").select(
+        col("source").as("src"),
+        concat(lit("src"), ((col("doc_id") * 7) % 20).cast("string")).as("dst"))
+      Graph.hits(edges, "src", "dst", iters = 2).orderBy("host")
     }),
     // multimodal: real image/audio decode (stub video) + feature schema
     // + frame sample
@@ -1098,6 +1233,34 @@ object OpsQueries {
        |SELECT host, rank FROM r3 ORDER BY host""".stripMargin
   }
 
+  /** g5: HITS unrolled — each half-step is one edges⋈scores sum plus
+    * the max-rescale ((s·2^20) // max), Graph.hits' exact rule. */
+  private lazy val g5OracleSql: String = {
+    def half(srcTbl: String, srcCol: String, joinOn: String, grp: String,
+             out: String, outCol: String): String =
+      s"""${out}_raw AS (
+         | SELECT nd.host, COALESCE(r.s, 0) AS s
+         | FROM nodes nd LEFT JOIN (
+         |  SELECT e.$grp AS host, CAST(SUM(t.$srcCol) AS BIGINT) AS s
+         |  FROM edges e JOIN $srcTbl t ON t.host = e.$joinOn
+         |  GROUP BY e.$grp) r ON r.host = nd.host),
+         |${out}_mx AS (SELECT MAX(s) AS mx FROM ${out}_raw),
+         |$out AS (SELECT host, (s * 1048576) // mx AS $outCol
+         |         FROM ${out}_raw, ${out}_mx)""".stripMargin
+    s"""WITH edges AS (
+       | SELECT source AS src, 'src' || ((doc_id * 7) % 20) AS dst FROM documents),
+       |nodes AS (SELECT DISTINCT host FROM
+       | (SELECT src AS host FROM edges UNION ALL SELECT dst FROM edges)),
+       |h0 AS (SELECT host, 1048576 AS hub FROM nodes),
+       |${half("h0", "hub", "src", "dst", "a1", "auth")},
+       |${half("a1", "auth", "dst", "src", "h1", "hub")},
+       |${half("h1", "hub", "src", "dst", "a2", "auth")},
+       |${half("a2", "auth", "dst", "src", "h2", "hub")}
+       |SELECT n.host, h2.hub, a2.auth
+       |FROM nodes n JOIN h2 ON h2.host = n.host JOIN a2 ON a2.host = n.host
+       |ORDER BY n.host""".stripMargin
+  }
+
   /** Per-word FNV hash CTEs over an arbitrary `docs` CTE body —
     * the tokenization front half of the minhash oracle pipeline,
     * parameterized so d12 can run it over a corpus∪eval union. */
@@ -1334,6 +1497,68 @@ object OpsQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---- shared IVF-oracle machinery (s3 + d13): recomputes
+  // IvfIndex.train/assign in SQL — exact because re-centering is
+  // integer fixed-point (IvfIndex.QuantScale) and assignment ties
+  // break to the lowest cluster id on both sides. `src` is any
+  // CTE/table with (vec_id, embedding FLOAT[]).
+  private val ivfDim = 64
+  private val ivfK = 16
+
+  /** squared-L2 of every `src` row to centroid table `cents(cl, c)`,
+    * then nearest cluster — identical fold + tie-break to
+    * IvfIndex.dists/assign. */
+  private def ivfAssignCtes(src: String, where: String, cents: String,
+                            out: String): String =
+    s"""${out}_d AS (
+       | SELECT s.vec_id, c.cl,
+       |  list_reduce(list_transform(range(1, ${ivfDim + 1}),
+       |    i -> (CAST(s.embedding[i] AS DOUBLE) - c.c[i]) *
+       |         (CAST(s.embedding[i] AS DOUBLE) - c.c[i])),
+       |   (a, x) -> a + x) AS d
+       | FROM $src s, $cents c$where),
+       |$out AS (
+       | SELECT vec_id, cl AS cluster FROM (
+       |  SELECT vec_id, cl,
+       |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn
+       |  FROM ${out}_d) WHERE rn = 1)""".stripMargin
+
+  /** quantized re-centering; empty clusters keep the previous centroid */
+  private def ivfRecenterCtes(src: String, asg: String, prev: String,
+                              out: String): String =
+    s"""${out}_s AS (
+       | SELECT a.cluster AS cl, i, COUNT(*) AS n,
+       |  CAST(SUM(CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1048576.0 + 0.5)
+       |           AS BIGINT)) AS BIGINT) AS s
+       | FROM $src e JOIN $asg a USING (vec_id),
+       |      (SELECT unnest(range(1, ${ivfDim + 1})) AS i) dims
+       | GROUP BY a.cluster, i),
+       |${out}_n AS (
+       | SELECT cl, list((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / 1048576.0 ORDER BY i) AS c
+       | FROM ${out}_s GROUP BY cl),
+       |$out AS (
+       | SELECT p.cl, COALESCE(n.c, p.c) AS c
+       | FROM $prev p LEFT JOIN ${out}_n n ON n.cl = p.cl)""".stripMargin
+
+  /** left-fold dot product — the exact order Similarity.cosine uses */
+  private def vecDotSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, ${ivfDim + 1}),
+       |   i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (a, x) -> a + x)""".stripMargin
+
+  /** c0 (first-16-by-id init) → a1/c1 → a2/c2 → `out` = final
+    * assignment of every `src` row, 2 Lloyd iterations — the full
+    * IvfIndex.train(k=16, iters=2) + assign replay. */
+  private def ivfTrainingCtes(src: String, out: String): String =
+    s"""c0 AS (
+       | SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cl,
+       |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+       | FROM $src ORDER BY vec_id LIMIT $ivfK),
+       |${ivfAssignCtes(src, "", "c0", "a1")},
+       |${ivfRecenterCtes(src, "a1", "c0", "c1")},
+       |${ivfAssignCtes(src, "", "c1", "a2")},
+       |${ivfRecenterCtes(src, "a2", "c1", "c2")},
+       |${ivfAssignCtes(src, "", "c2", out)}""".stripMargin
+
   /** Full IVF-ANN recomputation (s3), 2 Lloyd iterations: first-16-
     * by-id init → row-local argmin assignment (ties: lowest cluster,
     * the array_position semantic) → QUANTIZED re-centering (2^20
@@ -1343,52 +1568,9 @@ object OpsQueries {
     * cosine in the engine's left-fold order → (score desc, id asc)
     * rank. Matches s3 bit-for-bit. */
   private lazy val s3OracleSql: String = {
-    val dim = 64
-    val k = 16
-    // squared-L2 of every `src` row to centroid table `cents(cl, c)`,
-    // then nearest cluster — identical fold + tie-break to
-    // IvfIndex.dists/assign
-    def assignCtes(src: String, where: String, cents: String, out: String): String =
-      s"""${out}_d AS (
-         | SELECT s.vec_id, c.cl,
-         |  list_reduce(list_transform(range(1, ${dim + 1}),
-         |    i -> (CAST(s.embedding[i] AS DOUBLE) - c.c[i]) *
-         |         (CAST(s.embedding[i] AS DOUBLE) - c.c[i])),
-         |   (a, x) -> a + x) AS d
-         | FROM $src s, $cents c$where),
-         |$out AS (
-         | SELECT vec_id, cl AS cluster FROM (
-         |  SELECT vec_id, cl,
-         |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn
-         |  FROM ${out}_d) WHERE rn = 1)""".stripMargin
-    // quantized re-centering; empty clusters keep the previous centroid
-    def recenterCtes(asg: String, prev: String, out: String): String =
-      s"""${out}_s AS (
-         | SELECT a.cluster AS cl, i, COUNT(*) AS n,
-         |  CAST(SUM(CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1048576.0 + 0.5)
-         |           AS BIGINT)) AS BIGINT) AS s
-         | FROM embeddings e JOIN $asg a USING (vec_id),
-         |      (SELECT unnest(range(1, ${dim + 1})) AS i) dims
-         | GROUP BY a.cluster, i),
-         |${out}_n AS (
-         | SELECT cl, list((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / 1048576.0 ORDER BY i) AS c
-         | FROM ${out}_s GROUP BY cl),
-         |$out AS (
-         | SELECT p.cl, COALESCE(n.c, p.c) AS c
-         | FROM $prev p LEFT JOIN ${out}_n n ON n.cl = p.cl)""".stripMargin
-    def dot(a: String, b: String): String =
-      s"""list_reduce(list_transform(range(1, ${dim + 1}),
-         |   i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (a, x) -> a + x)""".stripMargin
-    s"""WITH c0 AS (
-       | SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cl,
-       |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
-       | FROM embeddings ORDER BY vec_id LIMIT $k),
-       |${assignCtes("embeddings", "", "c0", "a1")},
-       |${recenterCtes("a1", "c0", "c1")},
-       |${assignCtes("embeddings", "", "c1", "a2")},
-       |${recenterCtes("a2", "c1", "c2")},
-       |${assignCtes("embeddings", "", "c2", "corpus_asg")},
-       |${assignCtes("embeddings", " WHERE s.vec_id < 5", "c2", "q_asg")},
+    def dot(a: String, b: String): String = vecDotSql(a, b)
+    s"""WITH ${ivfTrainingCtes("embeddings", "corpus_asg")},
+       |${ivfAssignCtes("embeddings", " WHERE s.vec_id < 5", "c2", "q_asg")},
        |qp AS (
        | SELECT vec_id AS query_id, cl AS cluster FROM (
        |  SELECT vec_id, cl,
@@ -1410,6 +1592,32 @@ object OpsQueries {
        | FROM scored)
        |SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 10
        |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Full SemDeDup recomputation (d13): the SAME training replay as
+    * s3 (ivfTrainingCtes — coupling to IvfIndex by construction) over
+    * the dup-planted embedding union, then within-cluster lower-id
+    * cosine domination in the engine's exact fold order. */
+  private lazy val d13OracleSql: String = {
+    val cos =
+      s"""${vecDotSql("ea.embedding", "eb.embedding")} /
+         |  (sqrt(${vecDotSql("ea.embedding", "ea.embedding")}) *
+         |   sqrt(${vecDotSql("eb.embedding", "eb.embedding")}))""".stripMargin
+    s"""WITH emb AS (
+       | SELECT vec_id, embedding FROM embeddings
+       | UNION ALL
+       | SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 9 = 0),
+       |${ivfTrainingCtes("emb", "asg")},
+       |dom AS (
+       | SELECT DISTINCT a.vec_id
+       | FROM asg a
+       | JOIN asg b ON b.cluster = a.cluster AND b.vec_id < a.vec_id
+       | JOIN emb ea ON ea.vec_id = a.vec_id
+       | JOIN emb eb ON eb.vec_id = b.vec_id
+       | WHERE $cos >= 0.999999)
+       |SELECT g.vec_id, g.cluster, dom.vec_id IS NULL AS kept
+       |FROM asg g LEFT JOIN dom ON dom.vec_id = g.vec_id
+       |ORDER BY g.vec_id""".stripMargin
   }
 
   /** Full winnowing recomputation (Schleimer et al.): char-8-gram FNV →
@@ -1448,6 +1656,8 @@ object OpsQueries {
     "s3_ann_ivf" -> s3OracleSql,
     "d3_minhash_lsh" -> d3OracleSql,
     "d12_fuzzy_decon" -> d12OracleSql,
+    "d13_semdedup" -> d13OracleSql,
+    "g5_hits" -> g5OracleSql,
     "d6_dup_clusters" -> d6OracleSql,
     "d8_substring_dup" -> d8OracleSql,
     "d9_dedup_corpus" -> d9OracleSql,
@@ -1659,6 +1869,24 @@ object OpsQueries {
         | c.canon_id, s.cluster_size
         |FROM comp c JOIN sizes s USING (canon_id)
         |ORDER BY node_id""".stripMargin,
+    // g4: the template's two links predicted from the same doc_id
+    // arithmetic (change the query template and this together —
+    // CLAUDE.md coupling rule); anchor texts are what graft_anchors'
+    // strip+collapse rules leave of the template bodies
+    "g4_anchor_stats" ->
+      """WITH links AS (
+        | SELECT doc_id, 'h' || (doc_id % 60) || '.example' AS host,
+        |        'site ' || (doc_id % 60) AS anchor
+        | FROM documents
+        | UNION ALL
+        | SELECT doc_id, 'h' || ((doc_id + 7) % 60) || '.example' AS host,
+        |        'bold link ' || doc_id AS anchor
+        | FROM documents)
+        |SELECT host, COUNT(*) AS n_inlinks,
+        |       COUNT(DISTINCT doc_id) AS n_src_docs,
+        |       COUNT(DISTINCT anchor) AS n_anchors,
+        |       MIN(anchor) AS first_anchor
+        |FROM links GROUP BY host ORDER BY host""".stripMargin,
     "t11_host_stats" ->
       """SELECT source,
         | COUNT(*) AS n_docs,
@@ -1767,6 +1995,60 @@ object OpsQueries {
         |         AS rare_ratio
         |FROM toks JOIN dfreq USING (tok)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // t17: bin() is the shared integer log — both engines emit the
+    // minimal binary string of the BIGINT df, so length(bin(df)) ==
+    // floor(log2 df)+1 exactly; familiarity is ONE int/int division
+    // through DOUBLE (no float-sum-order hazard)
+    "t17_token_lm" ->
+      """WITH toks AS (
+        | SELECT doc_id,
+        |        unnest(string_split_regex(trim(text), '[ \t\n\f\r\x{0B}]+')) AS tok
+        | FROM documents),
+        |dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |       CAST(SUM(length(bin(df))) AS BIGINT) AS fam_bits,
+        |       CAST(SUM(length(bin(df))) AS DOUBLE) / COUNT(*) AS familiarity
+        |FROM toks JOIN dfreq USING (tok)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // t18: the full HLL register table recomputed in integer SQL —
+    // token FNV (fnvWordSql) → splitmix64 (mixCtes) → bucket = top 10
+    // bits, rho = 55 - bitlen(low 54 bits) (the bin()-length integer
+    // log again), MAX per (host, bucket); every group has reg >= 1 so
+    // COUNT(*) == the engine's occupied-register count
+    "t18_host_vocab" ->
+      s"""WITH toks AS (
+         | SELECT DISTINCT source, tok FROM (
+         |  SELECT source,
+         |         unnest(string_split_regex(trim(text), '$wsClassNoNbspSql')) AS tok
+         |  FROM documents)),
+         |f AS (
+         | SELECT source, tok, $fnvWordSql AS h
+         | FROM toks, LATERAL (SELECT tok AS w)),
+         |${mixCtes("f", "h", "th", "mv", "source, tok")},
+         |regs AS (
+         | SELECT source, mv >> 54 AS bucket,
+         |  MAX(CASE WHEN (mv & 18014398509481983::UBIGINT) = 0::UBIGINT THEN 55
+         |       ELSE 55 - length(bin(mv & 18014398509481983::UBIGINT)) END) AS reg
+         | FROM th_out GROUP BY source, bucket)
+         |SELECT source, CAST(COUNT(*) AS INT) AS n_occupied,
+         |       CAST(SUM(reg) AS BIGINT) AS reg_sum
+         |FROM regs GROUP BY source ORDER BY source""".stripMargin,
+    // t19: same binned-histogram quantile rule in SQL (cross-
+    // multiplied integer comparison, correlated MIN over the
+    // cumulative table)
+    "t19_length_quantiles" ->
+      """WITH b AS (SELECT source, length(text) >> 8 AS bin FROM documents),
+        |c AS (SELECT source, bin, COUNT(*) AS cnt FROM b GROUP BY source, bin),
+        |cum AS (SELECT source, bin, cnt,
+        |        CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY bin) AS BIGINT) AS cum
+        |        FROM c),
+        |tot AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_docs FROM c GROUP BY source)
+        |SELECT t.source, t.n_docs,
+        | (SELECT MIN(bin) FROM cum
+        |  WHERE cum.source = t.source AND 2 * cum.cum >= t.n_docs) AS p50_bin,
+        | (SELECT MIN(bin) FROM cum
+        |  WHERE cum.source = t.source AND 10 * cum.cum >= 9 * t.n_docs) AS p90_bin
+        |FROM tot t ORDER BY t.source""".stripMargin,
     // t9: the same splitmix64 recomputation as t8, then the top-53-bit
     // double score and a per-source row_number mirroring TopKAgg's
     // exact (score DESC, doc_id ASC) order

@@ -446,6 +446,42 @@ class OpsSpec extends AnyFunSuite {
     assert(got == ranks, s"got $got want $ranks")
   }
 
+  test("g5 HITS: bit-exact vs driver recompute; deep iters release caches") {
+    import spark.implicits._
+    import graft.ops.Graph
+    // varied degrees: a is a strong hub, c a strong authority
+    val es = Seq(("a", "c"), ("a", "d"), ("b", "c"), ("c", "a"), ("e", "c"))
+    val edges = es.toDF("src", "dst")
+    val got = Graph.hits(edges, "src", "dst", iters = 2).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val scale = 1L << 20
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct
+    var hub = nodes.map(_ -> scale).toMap
+    var auth = nodes.map(_ -> scale).toMap
+    (1 to 2).foreach { _ =>
+      val araw = nodes.map(v =>
+        v -> es.filter(_._2 == v).map(e => hub(e._1)).sum).toMap
+      val amax = araw.values.max
+      auth = araw.map { case (k, s) => k -> (s * scale) / amax }
+      val hraw = nodes.map(u =>
+        u -> es.filter(_._1 == u).map(e => auth(e._2)).sum).toMap
+      val hmax = hraw.values.max
+      hub = hraw.map { case (k, s) => k -> (s * scale) / hmax }
+    }
+    nodes.foreach { v => assert(got(v) == (hub(v), auth(v)), s"node $v") }
+    // the max node of each score lands exactly on scale; ranks differ
+    assert(got.values.map(_._1).max == scale && got.values.map(_._2).max == scale)
+    assert(got.values.toSet.size > 1)
+    // deep run with a reliable checkpoint dir: cadence path + no leaks
+    val dir = java.nio.file.Files.createTempDirectory("graft-hits-cp").toString
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val deep = Graph.hits(edges, "src", "dst", iters = 7,
+      checkpointDir = Some(dir), checkpointInterval = 3)
+    assert(deep.count() == nodes.size.toLong)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"hits leaked persisted frames: $leaked")
+  }
+
   test("pagerank dangling redistribution: integer-exact, recompute-mirrored") {
     import spark.implicits._
     import graft.ops.Graph
@@ -756,6 +792,163 @@ class OpsSpec extends AnyFunSuite {
       val (gotN, gotR, ratio) = out(id)
       assert(gotN == ts.length && gotR == nRare, s"doc $id")
       assert(ratio == nRare.toDouble / ts.length, s"doc $id ratio")
+    }
+  }
+
+  test("t18 HLL vocabulary sketch: registers exact vs driver recompute; estimate accurate") {
+    val out = OpsQueries.all("t18_host_vocab")(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Int]("n_occupied"), r.getAs[Long]("reg_sum"))).toMap
+    assert(out.nonEmpty)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    docs.groupBy(_._1).foreach { case (h, rows) =>
+      val regs = new Array[Int](1024)
+      val exact = scala.collection.mutable.Set[String]()
+      rows.foreach { case (_, text) =>
+        text.trim.split("[ \\t\\n\\f\\r\\u000B]+").foreach { tk =>
+          exact += tk
+          val mv = graft.expr.Hash64.mix(graft.expr.Hash64.fnv1a(tk))
+          val b = (mv >>> 54).toInt
+          val v = mv & ((1L << 54) - 1)
+          val rho =
+            if (v == 0L) 55 else 55 - (64 - java.lang.Long.numberOfLeadingZeros(v))
+          if (rho > regs(b)) regs(b) = rho
+        }
+      }
+      val (gotOcc, gotSum) = out(h)
+      assert(gotOcc == regs.count(_ > 0), s"host $h occupied")
+      assert(gotSum == regs.map(_.toLong).sum, s"host $h reg sum")
+      // m=1024 → ~3.25% rel. std. error (linear-counting regime is
+      // tighter still); 15% is a generous determinism-free sanity bound
+      val est = graft.expr.HllAgg.estimate(regs)
+      val err = math.abs(est - exact.size) / exact.size
+      assert(err < 0.15, s"host $h est $est exact ${exact.size} err $err")
+    }
+  }
+
+  test("graft_anchors: strip / implicit-close / EOF / quote-aware rules") {
+    GraftSession.register(spark)
+    import spark.implicits._
+    def anchors(html: String): Seq[(String, String)] =
+      Seq(html).toDF("h")
+        .select(explode(call_function("graft_anchors", col("h"))).as("a"))
+        .select(col("a.href"), col("a.anchor"))
+        .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
+    // nested tags stripped, whitespace runs collapsed, ends trimmed
+    assert(anchors("<a href=\"/x\"> <b>bold</b>\n link </a>") ==
+      Seq("/x" -> "bold link"))
+    // bare href value; a new <a> implicitly closes; EOF closes
+    assert(anchors("<a href=/one>first<a href='/two'>second") ==
+      Seq("/one" -> "first", "/two" -> "second"))
+    // '>' inside a quoted attribute does not end the tag; no-href
+    // anchors are skipped entirely
+    assert(anchors("<a title=\"a > b\" href=\"/q\">t</a><a name=x>skip</a>") ==
+      Seq("/q" -> "t"))
+    // data-href never matches (href must follow whitespace)
+    assert(anchors("<a data-href=\"/no\">t</a>").isEmpty)
+    // nested tag with quoted '>' inside is stripped whole
+    assert(anchors("<a href=\"/z\">x <img alt=\"y>z\"> w</a>") ==
+      Seq("/z" -> "x w"))
+  }
+
+  test("t19 length quantiles: histogram rule equals sorted-order percentiles") {
+    val out = OpsQueries.all("t19_length_quantiles")(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Int]("p50_bin"),
+          r.getAs[Int]("p90_bin"))).toMap
+    assert(out.nonEmpty)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "text").collect()
+      .map { r =>
+        val t = r.getString(1)
+        (r.getString(0), t.codePointCount(0, t.length)) // Spark length() = code points
+      }
+    docs.groupBy(_._1).foreach { case (h, rows) =>
+      val ls = rows.map(_._2).sorted
+      val n = ls.length
+      val p50 = ls((n + 1) / 2 - 1) >> 8          // the ceil(n/2)-th smallest
+      val p90 = ls((9 * n + 9) / 10 - 1) >> 8     // the ceil(9n/10)-th smallest
+      val (gotN, got50, got90) = out(h)
+      assert(gotN == n.toLong && got50 == p50 && got90 == p90, s"host $h")
+    }
+  }
+
+  test("graft_meta: first-wins / attr-order / case / bare-value rules") {
+    GraftSession.register(spark)
+    import spark.implicits._
+    def meta(html: String) = Seq(html).toDF("h")
+      .select(explode(array(call_function("graft_meta", col("h")))).as("m"))
+      .select(col("m.title"), col("m.description"), col("m.canonical"),
+        col("m.noindex"))
+      .collect().head
+    val r = meta("<head><title>A</title><title>B</title>" +
+      "<meta name=description content=first>" +
+      "<meta name=\"description\" content=\"second\">" +
+      "<META NAME='ROBOTS' CONTENT='a,NoIndex'>" +
+      "<link href=\"/c\" rel=canonical><link rel=canonical href=/d></head>")
+    assert(r.getString(0) == "A" && r.getString(1) == "first" &&
+      r.getString(2) == "/c" && r.getBoolean(3))
+    val none = meta("<p>no head at all</p>")
+    assert(none.isNullAt(0) && none.isNullAt(1) && none.isNullAt(2) &&
+      !none.getBoolean(3))
+    // unclosed title runs to EOF, whitespace collapsed + trimmed
+    assert(meta("<title> a\n  b").getString(0) == "a b")
+    // robots without noindex stays false; description-less meta ignored
+    val r2 = meta("<meta name=robots content=all><meta charset=utf-8>")
+    assert(!r2.getBoolean(3) && r2.isNullAt(1))
+  }
+
+  test("d13 SemDeDup: planted exact copies are dropped, originals kept") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
+    val withDups = e.unionAll(e.filter(col("vec_id") % 9 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    val out = graft.ops.Dedup.semDedup(withDups, "vec_id", "embedding",
+        k = 16, iters = 2, minCosine = 0.999999).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Int]("cluster"), r.getAs[Boolean]("kept"))).toMap
+    val planted = e.filter(col("vec_id") % 9 === 0).select("vec_id")
+      .collect().map(_.getLong(0))
+    assert(planted.nonEmpty)
+    planted.foreach { id =>
+      // identical vectors land in the identical cluster (same argmin)
+      assert(out(id + 100000)._1 == out(id)._1, s"cluster split for $id")
+      // the higher-id copy is dominated; the original survives it
+      // (it can only be dropped by an even-lower similar neighbor,
+      // which the 0.999999 threshold reserves for exact copies)
+      assert(!out(id + 100000)._2, s"copy of $id not dropped")
+      assert(out(id)._2, s"original $id wrongly dropped")
+    }
+    // every drop has a lower-id cluster-mate: the min id of each
+    // cluster can never be dropped
+    out.groupBy(_._2._1).foreach { case (cl, rows) =>
+      val minId = rows.keys.min
+      assert(rows(minId)._2, s"cluster $cl min id $minId dropped")
+    }
+  }
+
+  test("t17 token-familiarity: head/tail split join equals a driver recount") {
+    val out = OpsQueries.all("t17_token_lm")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("fam_bits"),
+          r.getAs[Double]("familiarity"))).toMap
+    assert(out.nonEmpty)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").trim.split("[ \\t\\n\\f\\r\\u000B]+").toSeq)
+    val df = docs.flatMap { case (id, ts) => ts.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (tk, xs) => tk -> xs.length }
+    // both halves of the split join must actually carry rows at this sf
+    assert(df.values.exists(_ > 64), "no head (df>64) tokens — split untested")
+    assert(df.values.exists(_ <= 64), "no tail (df<=64) tokens — split untested")
+    docs.foreach { case (id, ts) =>
+      val bits = ts.map(tk =>
+        java.lang.Long.toBinaryString(df(tk).toLong).length.toLong).sum
+      val (gotN, gotB, fam) = out(id)
+      assert(gotN == ts.length && gotB == bits, s"doc $id")
+      assert(fam == bits.toDouble / ts.length, s"doc $id familiarity")
     }
   }
 

@@ -71,6 +71,18 @@ class PlanChecksSpec extends AnyFunSuite {
       s"occurrences must stream against a broadcast, not sort-merge:\n${p.take(900)}")
   }
 
+  test("t17 splits the df join-back: heavy hitters broadcast, tail bounded") {
+    val p = plan("t17_token_lm")
+    // head (df > 64: the Zipf heavy hitters, tiny distinct set) must
+    // reach the occurrence stream as a BROADCAST build; only the tail
+    // (per-key multiplicity <= 64, no hot reducer possible) may shuffle
+    assert(p.contains("BroadcastHashJoin"), p.take(900))
+    assert("\\(df#\\d+L? > 64\\)".r.findFirstIn(p).isDefined,
+      s"head filter (df > 64) must sit below the broadcast build:\n${p.take(900)}")
+    assert("\\(df#\\d+L? <= 64\\)".r.findFirstIn(p).isDefined,
+      s"tail filter (df <= 64) must bound the shuffled side:\n${p.take(900)}")
+  }
+
   test("d7 broadcasts the bounded eval-set side, never sort-merges the corpus") {
     val p = plan("d7_decontaminate")
     assert(p.contains("BroadcastHashJoin"), p.take(800))
