@@ -83,6 +83,16 @@ class PlanChecksSpec extends AnyFunSuite {
       s"tail filter (df <= 64) must bound the shuffled side:\n${p.take(900)}")
   }
 
+  test("t19's window runs over the binned aggregate, never the corpus") {
+    val p = plan("t19_length_quantiles")
+    assert(p.contains("Window"), p.take(600))
+    // the corpus must be reduced to (source, bin) counts BEFORE any
+    // wide op: the only row-stream shuffle is keyed by the bin pair
+    // (≤ #bins rows per host reach the window, not #docs)
+    assert("hashpartitioning\\(source#\\d+, bin#\\d+".r.findFirstIn(p).isDefined,
+      s"window input must be the (source,bin) pre-aggregate:\n${p.take(900)}")
+  }
+
   test("d7 broadcasts the bounded eval-set side, never sort-merges the corpus") {
     val p = plan("d7_decontaminate")
     assert(p.contains("BroadcastHashJoin"), p.take(800))
@@ -107,8 +117,10 @@ class PlanChecksSpec extends AnyFunSuite {
     // never a join
     // t14 rides along: the Gopher doc-quality gate is pure
     // split/filter/transform over the scan
+    // x14 rides along: graft_meta is one Generate (explode(array(..))
+    // forces a single struct evaluation) over the scan
     Seq("t6_redact", "t7_nfc", "u1_url_canon", "t8_split", "x13_outlinks",
-        "t14_gopher_docs").foreach { q =>
+        "t14_gopher_docs", "x14_meta").foreach { q =>
       val p = plan(q)
       val exchanges = "Exchange".r.findAllIn(p).size
       assert(exchanges <= 1, s"$q must shuffle at most once (final sort):\n${p.take(900)}")
