@@ -754,7 +754,9 @@ object OpsQueries {
     // array built-ins (codegen, no shuffle). URLs are planted
     // deterministically with mixed case / ports / params / fragments
     // so every rule fires; the oracle recomputes the whole
-    // canonicalization from first principles.
+    // canonicalization from first principles. The rules live in ONE
+    // place — `UrlCanon` — shared with u2/r1; the SQL mirror is
+    // `urlCanonCtesFor` (change only in lockstep).
     "u1_url_canon" -> ((s, dir) => {
       val url = concat(
         when(col("doc_id") % 3 === 0, lit("HTTP")).otherwise(lit("https")),
@@ -771,24 +773,87 @@ object OpsQueries {
           .when(col("doc_id") % 5 === 2, lit("?z=9")).otherwise(lit("")),
         when(col("doc_id") % 7 === 0, concat(lit("#frag"), col("doc_id") % 5))
           .otherwise(lit("")))
-      val scheme = lower(regexp_extract(col("url"), "^([A-Za-z]+)://", 1))
-      val hostport = lower(regexp_extract(col("url"), "^[A-Za-z]+://([^/?#]+)", 1))
-      val host = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
-        .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
-        .otherwise(hostport)
-      val path = regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
-      val query = regexp_extract(col("url"), "\\?([^#]*)", 1)
-      val parts = filter(split(query, "&"), p => p =!= "")
-      val kept = filter(parts, p =>
-        !startswith(p, lit("utm_")) && !startswith(p, lit("fbclid=")) &&
-          !startswith(p, lit("gclid=")))
       t(s, dir, "documents").select(col("doc_id"), url.as("url"))
         .select(col("doc_id"), col("url"),
-          concat(scheme, lit("://"), host, path,
-            when(size(kept) > 0, concat(lit("?"), array_join(array_sort(kept), "&")))
-              .otherwise(lit(""))).as("canon_url"),
-          host.as("canon_host"),
-          (size(parts) - size(kept)).as("n_tracking_params"))
+          UrlCanon.canon(col("url")).as("canon_url"),
+          UrlCanon.host(col("url")).as("canon_host"),
+          UrlCanon.nTracking(col("url")).as("n_tracking_params"))
+        .orderBy("doc_id")
+    }),
+    // URL-keyed crawl dedup: the same page crawled under surface
+    // variants (case, default port, tracking params, fragments) must
+    // collapse to ONE canonical row before any content-level dedup.
+    // Planting: doc_id % 229 picks the logical page, the remaining
+    // doc_id residues drive only canonicalization-INVARIANT variation
+    // (scheme/host case, :443 under https, utm_*/fbclid params,
+    // fragments), so exactly the docs sharing doc_id % 229 collapse.
+    // Shape at 100 TB: the min/count agg combines MAP-SIDE (partial
+    // agg below its exchange — plan-asserted), so the agg shuffle
+    // carries one compact (canon_url, keeper, count) row per distinct
+    // URL per task, never the text. At test scale the planner
+    // broadcasts that aggregate; at corpus scale it degrades to a
+    // sort-merge whose probe side shuffles the corpus ONCE on
+    // canon_url — the unavoidable shuffle — and canon_url groups are
+    // bounded by crawl duplication (no hot keys).
+    "u2_url_dedup" -> ((s, dir) => {
+      val k = col("doc_id") % 229
+      val url = concat(
+        when(col("doc_id") % 3 === 0, lit("HTTPS")).otherwise(lit("https")),
+        lit("://"),
+        when(col("doc_id") % 2 === 0, concat(lit("Site"), k, lit(".Example.COM")))
+          .otherwise(concat(lit("site"), k, lit(".example.com"))),
+        when(col("doc_id") % 4 === 1, lit(":443")).otherwise(lit("")),
+        lit("/a/"), k,
+        when(col("doc_id") % 5 === 0,
+            concat(lit("?utm_source=feed&id="), k % 50, lit("&utm_campaign=x")))
+          .when(col("doc_id") % 5 === 1, concat(lit("?id="), k % 50, lit("&fbclid=f"), col("doc_id")))
+          .otherwise(concat(lit("?id="), k % 50)),
+        when(col("doc_id") % 7 === 0, concat(lit("#frag"), col("doc_id") % 5))
+          .otherwise(lit("")))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), url.as("url"))
+        .withColumn("canon_url", UrlCanon.canon(col("url")))
+      val groups = docs.groupBy("canon_url")
+        .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
+      docs.join(groups, "canon_url")
+        .select(col("doc_id"), col("url"), col("canon_url"),
+          (col("doc_id") === col("keeper_id")).as("keep"), col("n_copies"))
+        .orderBy("doc_id")
+    }),
+    // robots.txt-style crawl filtering: per-host Disallow prefix rules
+    // applied to every fetched URL — the politeness gate that runs
+    // before extraction. Hosts site{0..59}.example.com; every host
+    // disallows /private/, every 3rd also /admin/, every 7th also
+    // /tmp/. Rules are the canonical tiny dimension (≤3 rows/host):
+    // BROADCAST left join on host with a row-local prefix test —
+    // plan-asserted no sort-merge, so at 10^12 URLs the corpus
+    // streams through map-side. Path sections are disjoint, so at
+    // most one rule matches (left join stays 1:1, no post-agg).
+    "r1_robots" -> ((s, dir) => {
+      val h = col("doc_id") % 60
+      val section = when(col("doc_id") % 5 === 1, lit("private"))
+        .when(col("doc_id") % 5 === 2, lit("tmp"))
+        .when(col("doc_id") % 5 === 3, lit("admin"))
+        .otherwise(lit("public"))
+      val url = concat(lit("https://site"), h, lit(".example.com/"),
+        section, lit("/"), col("doc_id"))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), url.as("url"))
+        .withColumn("host", UrlCanon.host(col("url")))
+        .withColumn("path", UrlCanon.path(col("url")))
+      val rules = s.range(60).select(
+          concat(lit("site"), col("id"), lit(".example.com")).as("rhost"),
+          filter(array(
+            lit("/private/"),
+            when(col("id") % 3 === 0, lit("/admin/")),
+            when(col("id") % 7 === 0, lit("/tmp/"))), p => p.isNotNull).as("pfxs"))
+        .select(col("rhost"), explode(col("pfxs")).as("prefix"))
+      docs.join(broadcast(rules),
+          col("host") === col("rhost") && startswith(col("path"), col("prefix")),
+          "left")
+        .select(col("doc_id"), col("url"), col("host"),
+          col("prefix").isNotNull.as("blocked"),
+          col("prefix").as("matched_rule"))
         .orderBy("doc_id")
     }),
     // Gopher document-level quality rules (Rae et al. 2021, Table A1):
@@ -1022,6 +1087,42 @@ object OpsQueries {
        |$prefix{}_out AS (SELECT $keep, xor(z3, z3 >> 31) AS $outcol FROM $prefix{}_c)"""
       .stripMargin.replace("{}", "")
   }
+
+  /** DuckDB mirror of `UrlCanon` — ONE builder feeds every url-keyed
+    * oracle (u1, u2, r1 via host/path), so a rule change alters all of
+    * them identically by construction (CLAUDE.md coupling inventory).
+    * Takes a CTE body producing (doc_id, url) and emits the chain
+    * ending in `c`(doc_id, url, canon_host, canon_url,
+    * n_tracking_params).
+    */
+  private def urlCanonCtesFor(uBody: String): String =
+    s"""u AS ($uBody),
+       |ucp AS (
+       | SELECT doc_id, url,
+       |  lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+       |  lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) AS hostport,
+       |  regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+       |  regexp_extract(url, '\\?([^#]*)', 1) AS q
+       | FROM u),
+       |uch AS (
+       | SELECT *, CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')
+       |                WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
+       |                ELSE hostport END AS canon_host
+       | FROM ucp),
+       |uck AS (
+       | SELECT *, list_filter(string_split(q, '&'), x -> x <> '') AS parts
+       | FROM uch),
+       |ucf AS (
+       | SELECT *, list_filter(parts, x -> NOT starts_with(x, 'utm_')
+       |   AND NOT starts_with(x, 'fbclid=') AND NOT starts_with(x, 'gclid=')) AS kept
+       | FROM uck),
+       |c AS (
+       | SELECT doc_id, url, canon_host,
+       |  scheme || '://' || canon_host || path ||
+       |   CASE WHEN len(kept) > 0 THEN '?' || array_to_string(list_sort(kept), '&')
+       |        ELSE '' END AS canon_url,
+       |  len(parts) - len(kept) AS n_tracking_params
+       | FROM ucf)""".stripMargin
 
   /** FNV-1a of word `w` over UTF-16 code units (Hash64.fnv1a). */
   private val fnvWordSql: String =
@@ -2089,7 +2190,8 @@ object OpsQueries {
         | length(nfc_normalize(x)) AS len_after
         |FROM inp ORDER BY doc_id""".stripMargin,
     "u1_url_canon" ->
-      """WITH u AS (
+      s"""WITH ${urlCanonCtesFor(
+        """
         | SELECT doc_id,
         |  (CASE WHEN doc_id % 3 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
         |  (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END) ||
@@ -2101,33 +2203,55 @@ object OpsQueries {
         |    WHEN 1 THEN '?b=2&a=1&fbclid=f' || CAST(doc_id AS VARCHAR)
         |    WHEN 2 THEN '?z=9' ELSE '' END) ||
         |  (CASE WHEN doc_id % 7 = 0 THEN '#frag' || CAST(doc_id % 5 AS VARCHAR) ELSE '' END) AS url
+        | FROM documents""".stripMargin)}
+        |SELECT doc_id, url, canon_url, canon_host, n_tracking_params
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "u2_url_dedup" ->
+      s"""WITH ${urlCanonCtesFor(
+        """
+        | SELECT doc_id,
+        |  (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+        |  (CASE WHEN doc_id % 2 = 0
+        |    THEN 'Site' || CAST(doc_id % 229 AS VARCHAR) || '.Example.COM'
+        |    ELSE 'site' || CAST(doc_id % 229 AS VARCHAR) || '.example.com' END) ||
+        |  (CASE WHEN doc_id % 4 = 1 THEN ':443' ELSE '' END) ||
+        |  '/a/' || CAST(doc_id % 229 AS VARCHAR) ||
+        |  (CASE doc_id % 5
+        |    WHEN 0 THEN '?utm_source=feed&id=' || CAST((doc_id % 229) % 50 AS VARCHAR) || '&utm_campaign=x'
+        |    WHEN 1 THEN '?id=' || CAST((doc_id % 229) % 50 AS VARCHAR) || '&fbclid=f' || CAST(doc_id AS VARCHAR)
+        |    ELSE '?id=' || CAST((doc_id % 229) % 50 AS VARCHAR) END) ||
+        |  (CASE WHEN doc_id % 7 = 0 THEN '#frag' || CAST(doc_id % 5 AS VARCHAR) ELSE '' END) AS url
+        | FROM documents""".stripMargin)},
+        |g AS (
+        | SELECT doc_id, url, canon_url,
+        |  min(doc_id) OVER (PARTITION BY canon_url) AS keeper_id,
+        |  count(*) OVER (PARTITION BY canon_url) AS n_copies
+        | FROM c)
+        |SELECT doc_id, url, canon_url, doc_id = keeper_id AS keep, n_copies
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "r1_robots" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  CASE doc_id % 5 WHEN 1 THEN 'private' WHEN 2 THEN 'tmp'
+        |                  WHEN 3 THEN 'admin' ELSE 'public' END AS section
         | FROM documents),
-        |p AS (
-        | SELECT doc_id, url,
-        |  lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
-        |  lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) AS hostport,
-        |  regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
-        |  regexp_extract(url, '\?([^#]*)', 1) AS q
-        | FROM u),
-        |h AS (
-        | SELECT *, CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
-        |                WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
-        |                ELSE hostport END AS canon_host
-        | FROM p),
-        |k AS (
-        | SELECT *, list_filter(string_split(q, '&'), x -> x <> '') AS parts
-        | FROM h),
-        |f AS (
-        | SELECT *, list_filter(parts, x -> NOT starts_with(x, 'utm_')
-        |   AND NOT starts_with(x, 'fbclid=') AND NOT starts_with(x, 'gclid=')) AS kept
-        | FROM k)
-        |SELECT doc_id, url,
-        | scheme || '://' || canon_host || path ||
-        |  CASE WHEN len(kept) > 0 THEN '?' || array_to_string(list_sort(kept), '&')
-        |       ELSE '' END AS canon_url,
-        | canon_host,
-        | len(parts) - len(kept) AS n_tracking_params
-        |FROM f ORDER BY doc_id""".stripMargin,
+        |uu AS (
+        | SELECT doc_id,
+        |  'https://site' || CAST(doc_id % 60 AS VARCHAR) || '.example.com/'
+        |    || section || '/' || CAST(doc_id AS VARCHAR) AS url,
+        |  'site' || CAST(doc_id % 60 AS VARCHAR) || '.example.com' AS host,
+        |  '/' || section || '/' || CAST(doc_id AS VARCHAR) AS path
+        | FROM d),
+        |r AS (
+        | SELECT 'site' || CAST(i AS VARCHAR) || '.example.com' AS rhost, pfx
+        | FROM range(60) t(i), (VALUES ('/private/'), ('/admin/'), ('/tmp/')) v(pfx)
+        | WHERE pfx = '/private/'
+        |    OR (pfx = '/admin/' AND i % 3 = 0)
+        |    OR (pfx = '/tmp/' AND i % 7 = 0))
+        |SELECT uu.doc_id, uu.url, uu.host,
+        | r.pfx IS NOT NULL AS blocked, r.pfx AS matched_rule
+        |FROM uu LEFT JOIN r ON uu.host = r.rhost AND starts_with(uu.path, r.pfx)
+        |ORDER BY uu.doc_id""".stripMargin,
     "t1b_langid_docs" ->
       """WITH inp AS (
         | SELECT d.doc_id,

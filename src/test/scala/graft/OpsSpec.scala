@@ -1047,6 +1047,45 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("url dedup: surface variants collapse to one keeper per logical page") {
+    val out = OpsQueries.all("u2_url_dedup")(spark, sf).collect()
+    assert(out.nonEmpty)
+    // exactly the docs sharing doc_id % 229 share a canon_url (the
+    // remaining residues drive only canonicalization-invariant noise)
+    val byCanon = out.groupBy(_.getAs[String]("canon_url"))
+    byCanon.foreach { case (cu, rs) =>
+      val pages = rs.map(r => r.getAs[Long]("doc_id") % 229).distinct
+      assert(pages.size == 1, s"$cu mixes logical pages $pages")
+      val keepers = rs.filter(_.getAs[Boolean]("keep"))
+      assert(keepers.length == 1, s"$cu has ${keepers.length} keepers")
+      assert(keepers.head.getAs[Long]("doc_id") == rs.map(_.getAs[Long]("doc_id")).min)
+      assert(rs.forall(_.getAs[Long]("n_copies") == rs.length), cu)
+    }
+    assert(byCanon.size == out.map(_.getAs[Long]("doc_id") % 229).distinct.size)
+  }
+
+  test("robots filter: blocked exactly when the host publishes a matching prefix rule") {
+    val out = OpsQueries.all("r1_robots")(spark, sf).collect()
+    assert(out.nonEmpty)
+    var blocked = 0
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val h = id % 60
+      val expect = (id % 5) match {
+        case 1 => true                 // /private/ — every host
+        case 3 => h % 3 == 0           // /admin/ — every 3rd host
+        case 2 => h % 7 == 0           // /tmp/ — every 7th host
+        case _ => false
+      }
+      assert(r.getAs[Boolean]("blocked") == expect, s"id=$id")
+      if (expect) {
+        blocked += 1
+        assert(r.getAs[String]("matched_rule") != null, s"id=$id")
+      } else assert(r.isNullAt(r.fieldIndex("matched_rule")), s"id=$id")
+    }
+    assert(blocked > 0)
+  }
+
   test("media decode: arbitrary payloads are error-as-row, never a crash") {
     import spark.implicits._
     // at 100 TB the decoders run on untrusted bytes: random tails

@@ -141,6 +141,24 @@ class PlanChecksSpec extends AnyFunSuite {
     }
   }
 
+  test("u2: url-dedup agg combines map-side; join-back never nested-loops") {
+    val p = plan("u2_url_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(900))
+    // the canon_url shuffle must carry partial (min, count) rows, not
+    // raw docs — map-side combine is what bounds the agg traffic at
+    // corpus scale
+    assert(p.contains("partial_min") && p.contains("partial_count"),
+      s"canon_url agg must combine map-side below its exchange:\n${p.take(900)}")
+  }
+
+  test("r1: robots rules are a BROADCAST build off Range — the URL corpus never sort-merges") {
+    val p = plan("r1_robots")
+    assert(p.contains("BroadcastHashJoin"), p.take(900))
+    assert(!p.contains("SortMergeJoin"),
+      s"the fetched-URL corpus must stream map-side past ≤3 rules/host:\n${p.take(900)}")
+  }
+
   test("d12 streams the corpus against BROADCAST eval bands — no self-join") {
     val p = plan("d12_fuzzy_decon")
     assert(p.contains("BroadcastHashJoin"), p.take(900))
