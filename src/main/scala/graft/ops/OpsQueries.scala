@@ -722,6 +722,26 @@ object OpsQueries {
         .select(col("source"), col("n_docs"), col("p50_bin"), col("p90_bin"))
         .orderBy("source")
     }),
+    // t20: BPE merge-candidate counting — the inner loop of tokenizer
+    // training (Sennrich et al. 2016): count every adjacent character
+    // pair inside every token occurrence corpus-wide and rank merge
+    // candidates (cnt DESC, pair ASC). Scale shape: pair extraction is
+    // row-local (one transform over each token), the count combines
+    // MAP-SIDE, and the distinct-pair table is bounded by |alphabet|^2
+    // regardless of corpus size — so the ranking window runs over that
+    // tiny aggregate (t19's discipline), never the corpus.
+    "t20_bpe_pairs" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").select(
+        explode(split(trim(col("text")), "[ \\t\\n\\f\\r\\u000B]+")).as("tok"))
+      val pairs = toks.filter(length(col("tok")) >= 2)
+        .select(explode(transform(sequence(lit(1), length(col("tok")) - 1),
+          i => col("tok").substr(i, lit(2)))).as("pair"))
+      val counts = pairs.groupBy("pair").agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("pair"))
+      counts.withColumn("rank", row_number().over(w).cast("long"))
+        .orderBy("pair")
+    }),
     // per-host document cap (the crawl-balance step: no domain may
     // dominate the training mix). Deterministic SAMPLING, not
     // first-N: each doc's priority is splitmix64(doc_id) — stable
@@ -746,6 +766,68 @@ object OpsQueries {
         .select(col("e.id").as("doc_id"), col("source"),
           (col("pos") + 1).cast("long").as("rank"))
         .orderBy("doc_id")
+    }),
+    // b1: BM25 top-k retrieval — the inverted-index scoring loop of a
+    // web-scale search/eval stack, INTEGER-EXACT so both engines agree
+    // bit-for-bit. The classic formula's floats are replaced by exact
+    // integer arithmetic computed identically on both sides:
+    //   idf       = bitlen((1024·N) DIV df)       (integer log2 of the
+    //               2^10-scaled inverse frequency — the t17 bin()
+    //               discipline, fine enough to separate common from
+    //               planted-rare terms)
+    //   avgdl     = total_tokens DIV n_docs       (integer division)
+    //   tf-sat    = (22·tf·S·avgdl·1024) DIV (10·tf·S·avgdl
+    //               + 12·((S-B)·avgdl + B·dl))    with S=1000, B=750 —
+    //               i.e. k1=1.2, b=0.75 cross-multiplied to integers,
+    //               2^10 fixed point (sound while tf·avgdl < ~4·10^11)
+    //   score     = Σ_terms idf·sat               (exact integer sum)
+    // Scale shape: the query-term set is the canonical tiny dimension —
+    // occurrences are BROADCAST-pruned map-side before anything
+    // shuffles, df is computed only for query terms (≤|terms| rows,
+    // broadcast back), the single corpus-keyed shuffle is the doc_id
+    // join against doclen, and ranking is the graft_topk bounded-heap
+    // PARTIAL aggregate (t9's discipline: score DESC, id ASC, scores
+    // exactly double-representable). A billion-doc posting list never
+    // funnels through a window sort. Rare terms are PLANTED (every 3rd
+    // doc grows a ' bmq{doc_id%7}' tail) so df spans common→rare and
+    // the ranking is non-degenerate; the oracle appends the identical
+    // tail.
+    "b1_bm25" -> ((s, dir) => {
+      GraftSession.register(s)
+      import s.implicits._
+      val qterms = Seq((0L, "spark"), (0L, "bmq1"),
+        (1L, "bmq2"), (1L, "bmq3"), (1L, "merge"),
+        (2L, "customer"), (2L, "bmq5")).toDF("qid", "tok")
+      val planted = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" bmq"), col("doc_id") % 7)).otherwise(lit("")))
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        explode(split(trim(planted), "[ \\t\\n\\f\\r\\u000B]+")).as("tok"))
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      val glob = dl.agg(count(lit(1)).as("n"), sum("dl").as("tt"))
+        .select(col("n"), expr("tt DIV n").as("avgdl"))
+      val tfq = tf.join(broadcast(qterms.select("tok").distinct()), "tok")
+      val dfreq = tfq.groupBy("tok").agg(count(lit(1)).as("df"))
+      tfq.join(broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(glob))
+        .join(broadcast(qterms), "tok")
+        .withColumn("idf",
+          length(bin(expr("(1024L * n) DIV df"))).cast("long"))
+        .withColumn("sat", expr(
+          "(22L * tf * 1000L * avgdl * 1024L) DIV " +
+            "(10L * tf * 1000L * avgdl + 12L * (250L * avgdl + 750L * dl))"))
+        .groupBy("qid", "doc_id")
+        .agg(sum(col("idf") * col("sat")).as("score"))
+        .groupBy("qid")
+        .agg(call_function("graft_topk",
+          col("score").cast("double"), col("doc_id"), lit(10)).as("top"))
+        .select(col("qid"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("qid"), col("e.id").as("doc_id"),
+          (col("pos") + 1).cast("long").as("rank"),
+          col("e.score").cast("long").as("score"))
+        .orderBy("qid", "doc_id")
     }),
     // URL canonicalization (the step before any url-keyed crawl dedup
     // or host bucketing): lowercase scheme+host, drop the scheme's
@@ -2164,6 +2246,59 @@ object OpsQueries {
          | FROM scored)
          |SELECT doc_id, source, rank FROM ranked
          |WHERE rank <= 10 ORDER BY doc_id""".stripMargin,
+    // t20: identical tokenization, pair explosion via range/substr
+    // (both engines 1-based, end-exclusive upper bound = length-1
+    // last start), integer counts, same (cnt DESC, pair ASC) rank
+    "t20_bpe_pairs" ->
+      """WITH toks AS (
+        | SELECT unnest(string_split_regex(trim(text), '[ \t\n\f\r\x{0B}]+')) AS tok
+        | FROM documents),
+        |pairs AS (
+        | SELECT unnest(list_transform(range(1, length(tok)),
+        |          i -> substr(tok, CAST(i AS INTEGER), 2))) AS pair
+        | FROM toks WHERE length(tok) >= 2),
+        |c AS (SELECT pair, COUNT(*) AS cnt FROM pairs GROUP BY pair)
+        |SELECT pair, cnt,
+        |       row_number() OVER (ORDER BY cnt DESC, pair) AS rank
+        |FROM c ORDER BY pair""".stripMargin,
+    // b1: the WHOLE integer BM25 recomputed from first principles —
+    // same bitlen idf (bin()), same integer avgdl, same cross-
+    // multiplied tf saturation with // division, then t9's
+    // row_number mirror of the graft_topk (score DESC, doc_id ASC)
+    // order. Change `b1_bm25`'s constants (S=1000, B=750, k1 scale
+    // 22/10, 2^10 fixed point) or query-term table only in lockstep.
+    "b1_bm25" ->
+      """WITH toks AS (
+        | SELECT doc_id,
+        |        unnest(string_split_regex(trim(text ||
+        |          CASE WHEN doc_id % 3 = 0
+        |               THEN ' bmq' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END),
+        |          '[ \t\n\f\r\x{0B}]+')) AS tok
+        | FROM documents),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+        |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+        |gstat AS (SELECT COUNT(*) AS n,
+        |                CAST(SUM(dl) AS BIGINT) // COUNT(*) AS avgdl FROM dl),
+        |q AS (SELECT * FROM (VALUES (0,'spark'),(0,'bmq1'),(1,'bmq2'),
+        |       (1,'bmq3'),(1,'merge'),(2,'customer'),(2,'bmq5')) v(qid, tok)),
+        |dfreq AS (SELECT tok, COUNT(*) AS df FROM tf
+        |          WHERE tok IN (SELECT tok FROM q) GROUP BY tok),
+        |sc AS (
+        | SELECT q.qid, tf.doc_id,
+        |  CAST(SUM(length(bin((1024 * g.n) // d.df)) *
+        |    ((22 * tf.tf * 1000 * g.avgdl * 1024) //
+        |     (10 * tf.tf * 1000 * g.avgdl + 12 * (250 * g.avgdl + 750 * l.dl))))
+        |   AS BIGINT) AS score
+        | FROM tf JOIN q ON tf.tok = q.tok
+        |   JOIN dfreq d ON tf.tok = d.tok
+        |   JOIN dl l ON tf.doc_id = l.doc_id
+        |   CROSS JOIN gstat g
+        | GROUP BY q.qid, tf.doc_id),
+        |ranked AS (SELECT qid, doc_id, score,
+        |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+        | FROM sc)
+        |SELECT CAST(qid AS BIGINT) AS qid, doc_id, rank, score
+        |FROM ranked WHERE rank <= 10 ORDER BY qid, doc_id""".stripMargin,
     "t8_split" ->
       s"""WITH m0 AS (SELECT doc_id, CAST(doc_id AS UBIGINT) AS x FROM documents),
          |${mixCtes("m0", "x", "sp", "mx", "doc_id")},

@@ -1086,6 +1086,58 @@ class OpsSpec extends AnyFunSuite {
     assert(blocked > 0)
   }
 
+  test("bm25: contiguous ranks, non-increasing scores, heap tie-break, only term-bearing docs") {
+    val out = OpsQueries.all("b1_bm25")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val qterms = Map(0L -> Set("spark", "bmq1"), 1L -> Set("bmq2", "bmq3", "merge"),
+      2L -> Set("customer", "bmq5"))
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.groupBy(_.getAs[Long]("qid")).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to sorted.length), s"qid=$q")
+      assert(sorted.length <= 10)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val (sa, sb) = (a.getAs[Long]("score"), b.getAs[Long]("score"))
+          assert(sa >= sb, s"qid=$q scores must be non-increasing")
+          if (sa == sb)
+            assert(a.getAs[Long]("doc_id") < b.getAs[Long]("doc_id"),
+              s"qid=$q equal scores must fall back to doc_id ASC (the heap tie-break)")
+        case _ => ()
+      }
+      sorted.foreach { r =>
+        val id = r.getAs[Long]("doc_id")
+        val toks = (texts(id) +
+          (if (id % 3 == 0) s" bmq${id % 7}" else "")).trim
+          .split("[ \t\n\f\r]+").toSet
+        assert(toks.intersect(qterms(q)).nonEmpty, s"qid=$q doc=$id bears no query term")
+        assert(r.getAs[Long]("score") > 0, s"qid=$q doc=$id")
+      }
+    }
+  }
+
+  test("bpe pair counts equal a brute-force recomputation") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val counts = scala.collection.mutable.Map[String, Long]()
+    docs.foreach { txt =>
+      txt.replaceAll("^ +| +$", "").split("[ \t\n\f\r]+")
+        .filter(_.length >= 2).foreach { w =>
+          (0 until w.length - 1).foreach { i =>
+            val p = w.substring(i, i + 2)
+            counts(p) = counts.getOrElse(p, 0L) + 1L
+          }
+        }
+    }
+    val out = OpsQueries.all("t20_bpe_pairs")(spark, sf).collect()
+    assert(out.map(r => r.getAs[String]("pair") -> r.getAs[Long]("cnt")).toMap
+      == counts.toMap)
+    val best = out.minBy(r => (-r.getAs[Long]("cnt"), r.getAs[String]("pair")))
+    assert(best.getAs[Long]("rank") == 1L, "rank 1 must be the argmax merge candidate")
+  }
+
   test("media decode: arbitrary payloads are error-as-row, never a crash") {
     import spark.implicits._
     // at 100 TB the decoders run on untrusted bytes: random tails

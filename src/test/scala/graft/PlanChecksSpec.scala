@@ -93,6 +93,23 @@ class PlanChecksSpec extends AnyFunSuite {
       s"window input must be the (source,bin) pre-aggregate:\n${p.take(900)}")
   }
 
+  test("b1: query terms broadcast-prune occurrences; no sort-merge reaches the corpus") {
+    val p = plan("b1_bm25")
+    assert(p.contains("BroadcastHashJoin"), p.take(900))
+    assert(!p.contains("CartesianProduct"), p.take(900))
+  }
+
+  test("t20's merge-candidate window runs over the pair aggregate, never the corpus") {
+    val p = plan("t20_bpe_pairs")
+    assert(p.contains("Window"), p.take(600))
+    // pairs must reduce to (pair, cnt) — bounded by |alphabet|^2 —
+    // before the rank window; partial_count proves map-side combine
+    assert(p.contains("partial_count"),
+      s"pair counts must combine map-side:\n${p.take(900)}")
+    assert("hashpartitioning\\(pair#\\d+".r.findFirstIn(p).isDefined,
+      s"the only row-stream shuffle is keyed by pair:\n${p.take(900)}")
+  }
+
   test("d7 broadcasts the bounded eval-set side, never sort-merges the corpus") {
     val p = plan("d7_decontaminate")
     assert(p.contains("BroadcastHashJoin"), p.take(800))
@@ -177,7 +194,10 @@ class PlanChecksSpec extends AnyFunSuite {
   test("ANN ranking is a partial bounded-heap aggregate, not a global window") {
     // t9's per-host cap rides the same discipline: a hot host must do
     // map-side partial top-Ks, never a per-host row_number sort
-    Seq("s1_cosine_topk", "s2_ann_lsh", "s3_ann_ivf", "t9_host_cap").foreach { q =>
+    // b1's per-query retrieval ranking likewise: posting lists merge
+    // through map-side partial top-Ks, never a per-query window sort
+    Seq("s1_cosine_topk", "s2_ann_lsh", "s3_ann_ivf", "t9_host_cap",
+        "b1_bm25").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Window"),
         s"$q must not rank via a global window (shuffles every scored row):\n${p.take(600)}")
