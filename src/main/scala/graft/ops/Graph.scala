@@ -100,6 +100,82 @@ object Graph {
     out
   }
 
+  /** Redirect-chain resolution via POINTER DOUBLING (path doubling):
+    * given a redirect map (src → dst, AT MOST ONE out-edge per src —
+    * the caller's contract; duplicate srcs would multiply pointer rows
+    * at every composition), return for every node (any id appearing as
+    * src or dst) its terminal target and exact hop count.
+    *
+    * Why doubling: a naive chase resolves a length-L chain in L
+    * join rounds; composing the pointer table with ITSELF
+    * (f' = f∘f, hops' = hops(x) + hops(f(x))) resolves it in
+    * ⌈log₂ L⌉ rounds — a 100-hop crawl spam chain costs 7 shuffle
+    * rounds, not 100. Terminal nodes hold the identity pointer
+    * (ptr = self, hops = 0), so composition is a total equi-join of
+    * the nodes-sized table with itself — no edge blow-up, no
+    * cartesian, and resolved rows are fixed points.
+    *
+    * Convergence: the summed hop count is monotone and stabilizes
+    * exactly when every pointer is terminal (one tiny agg per round,
+    * the connectedComponents discipline). CYCLES never stabilize
+    * (their hops double every round), so after `maxRounds`
+    * compositions — enough for chains up to 2^maxRounds hops —
+    * surviving non-terminal rows are returned with `resolved = false`
+    * (error-as-row, matching the WARC/media contract) instead of
+    * throwing: real crawls DO contain redirect loops. Unresolved
+    * rows' final_id/hops reflect the exhausted doubling state —
+    * deterministic, but round-count-dependent; callers that expose
+    * them across engines should mask them (the u3 query does).
+    *
+    * Iteration hygiene mirrors [[pageRank]]: reliable-or-local
+    * checkpoint per round truncates lineage, nothing cached leaks.
+    * Returns (id, final_id, hops, resolved). */
+  def resolveChains(edges: DataFrame, srcCol: String = "src",
+                    dstCol: String = "dst", maxRounds: Int = 40,
+                    checkpointDir: Option[String] = None): DataFrame = {
+    require(maxRounds >= 1 && maxRounds <= 62, "2^maxRounds must fit a long")
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def cp(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val e = cp(edges.select(col(srcCol).cast("long").as("id"),
+      col(dstCol).cast("long").as("nxt")))
+    val nodes = e.select(col("id"))
+      .union(e.select(col("nxt").as("id"))).distinct()
+    // f₀: redirecting nodes point one hop ahead, terminals at self
+    var f = cp(nodes.join(e, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("nxt"), col("id")).as("ptr"),
+        when(col("nxt").isNull, 0L).otherwise(1L).as("hops")))
+    def hopSum(df: DataFrame): java.math.BigDecimal = {
+      val d = df.agg(sum(col("hops").cast("decimal(38,0)"))).head.getDecimal(0)
+      if (d == null) java.math.BigDecimal.ZERO else d
+    }
+    var prevSum = hopSum(f)
+    var done = prevSum.signum == 0 // no redirects at all
+    var round = 0
+    while (!done && round < maxRounds) {
+      // f' = f∘f: every ptr is a node, so the self-join is total
+      val next = cp(f
+        .join(f.select(col("id").as("ptr"), col("ptr").as("ptr2"),
+          col("hops").as("hops2")), "ptr")
+        .select(col("id"), col("ptr2").as("ptr"),
+          (col("hops") + col("hops2")).as("hops")))
+      val nextSum = hopSum(next)
+      done = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+      f.unpersist()
+      f = next
+      round += 1
+    }
+    // resolved ⟺ the pointer left the redirect map (terminal target)
+    val out = f.join(e.select(col("id").as("ptr")).distinct()
+        .withColumn("still_src", lit(true)), Seq("ptr"), "left_outer")
+      .select(col("id"), col("ptr").as("final_id"), col("hops"),
+        coalesce(!col("still_src"), lit(true)).as("resolved"))
+    val res = cp(out)
+    e.unpersist()
+    res
+  }
+
   /** INTEGER-EXACT HITS (Kleinberg 1999), `iters` rounds: hub and
     * authority fixed point over the link graph — the complementary
     * rank to [[pageRank]] (a page can be a poor destination but a

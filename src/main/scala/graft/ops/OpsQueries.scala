@@ -742,6 +742,25 @@ object OpsQueries {
       counts.withColumn("rank", row_number().over(w).cast("long"))
         .orderBy("pair")
     }),
+    // t21: token-budget shard packing — the corpus-export step that
+    // cuts the training mix into fixed-budget shards by CUMULATIVE
+    // token count (a doc lands in the shard where its first token
+    // falls). The naive spelling is a global Window.orderBy — a
+    // SinglePartition Exchange of the WHOLE corpus; Pack.prefixShards
+    // is the two-level distributed prefix sum instead: the only
+    // corpus-wide window is PARTITIONED by the id-range bucket
+    // (plan-asserted), and the lone single-partition window runs over
+    // the one-row-per-bucket aggregate (t19's bounded-window
+    // discipline), broadcast back. bucketSize=64 at test scale so
+    // multiple buckets are live; 2^20 at deployment (10^6 level-2
+    // rows at 10^12 docs).
+    "t21_pack_shards" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        size(split(trim(col("text")), "[ \\t\\n\\f\\r\\u000B]+"))
+          .cast("long").as("n_toks"))
+      Pack.prefixShards(docs, "doc_id", "n_toks", budget = 2048L,
+        bucketSize = 64L).orderBy("doc_id")
+    }),
     // per-host document cap (the crawl-balance step: no domain may
     // dominate the training mix). Deterministic SAMPLING, not
     // first-N: each doc's priority is splitmix64(doc_id) — stable
@@ -901,6 +920,40 @@ object OpsQueries {
         .select(col("doc_id"), col("url"), col("canon_url"),
           (col("doc_id") === col("keeper_id")).as("keep"), col("n_copies"))
         .orderBy("doc_id")
+    }),
+    // u3: redirect-chain resolution — every URL's redirect chain
+    // resolved to its terminal target via POINTER DOUBLING
+    // (Graph.resolveChains): ⌈log₂ L⌉ join rounds for a length-L
+    // chain instead of L (a 100-hop crawl spam chain costs 7 rounds,
+    // not 100). Deterministic chain layout from doc ids: 32-id
+    // groups; groups with group%5==0 chain FORWARD (id → id+1,
+    // terminal at the group top, truncated at the table edge), the
+    // rest BACKWARD (id → id-1, terminal at the group base); edges
+    // exist only between ids present in the table (semi-join, EXISTS
+    // in the oracle). Two synthetic ids (20001 ↔ 20002) plant a
+    // redirect LOOP: never terminal, flagged resolved=false with
+    // final_id/hops masked to -1 on BOTH engines — the raw
+    // exhausted-doubling values are deterministic but
+    // round-count-dependent, so they stay out of the dual-engine
+    // contract (the HLL-float-estimate rule).
+    "u3_redirects" -> ((s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "documents").select(col("doc_id").as("id"))
+      val back = ids.filter(expr("(id div 32) % 5 <> 0 AND id % 32 > 0"))
+        .select(col("id"), (col("id") - 1).as("nxt"))
+      val fwd = ids.filter(expr("(id div 32) % 5 = 0 AND id % 32 < 31"))
+        .select(col("id"), (col("id") + 1).as("nxt"))
+      val cyc = Seq((20001L, 20002L), (20002L, 20001L)).toDF("id", "nxt")
+      val edges = back.unionAll(fwd)
+        .join(ids.select(col("id").as("nxt")), Seq("nxt"), "left_semi")
+        .unionAll(cyc)
+      Graph.resolveChains(edges, "id", "nxt", maxRounds = 8)
+        .select(col("id"),
+          when(col("resolved"), col("final_id")).otherwise(lit(-1L))
+            .as("final_id"),
+          when(col("resolved"), col("hops")).otherwise(lit(-1L)).as("hops"),
+          col("resolved"))
+        .orderBy("id")
     }),
     // robots.txt-style crawl filtering: per-host Disallow prefix rules
     // applied to every fetched URL — the politeness gate that runs
@@ -2261,6 +2314,64 @@ object OpsQueries {
         |SELECT pair, cnt,
         |       row_number() OVER (ORDER BY cnt DESC, pair) AS rank
         |FROM c ORDER BY pair""".stripMargin,
+    // t21: the SAME running sum as ONE global window — correct in
+    // DuckDB (single node) and exactly what the engine's two-level
+    // prefix sum must reproduce. Budget 2048 and the 32-id group
+    // arithmetic are coupled to the query; change only in lockstep.
+    "t21_pack_shards" ->
+      """WITH toks AS (
+        | SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '[ \t\n\f\r\x{0B}]+'))
+        |   AS BIGINT) AS n_toks
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, n_toks,
+        |  COALESCE(CAST(SUM(n_toks) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |   0) AS tok_offset
+        | FROM toks)
+        |SELECT doc_id, n_toks, tok_offset, tok_offset // 2048 AS shard
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // u3: the chains walked LINEARLY by a recursive CTE (the oracle
+    // need not be fast, only exact); terminal = the first walked
+    // pointer with no out-edge. Cycle ids never produce a terminal
+    // row (the walk is hop-capped) → resolved=false, final_id/hops
+    // masked to -1 exactly as the query masks them. The 32-id group
+    // arithmetic and the (20001,20002) loop plant are coupled to the
+    // query; change only in lockstep.
+    "u3_redirects" ->
+      """WITH RECURSIVE edges AS (
+        | SELECT d.doc_id AS id, d.doc_id - 1 AS nxt FROM documents d
+        | WHERE (d.doc_id // 32) % 5 <> 0 AND d.doc_id % 32 > 0
+        |   AND EXISTS (SELECT 1 FROM documents x WHERE x.doc_id = d.doc_id - 1)
+        | UNION ALL
+        | SELECT d.doc_id, d.doc_id + 1 FROM documents d
+        | WHERE (d.doc_id // 32) % 5 = 0 AND d.doc_id % 32 < 31
+        |   AND EXISTS (SELECT 1 FROM documents x WHERE x.doc_id = d.doc_id + 1)
+        | UNION ALL
+        | SELECT * FROM (VALUES (20001, 20002), (20002, 20001)) c(id, nxt)),
+        |nodes AS (SELECT DISTINCT id FROM
+        |  (SELECT id FROM edges UNION ALL SELECT nxt FROM edges)),
+        |walk(id, ptr, hops) AS (
+        | SELECT id, nxt, 1 FROM edges
+        | UNION ALL
+        | SELECT w.id, e.nxt, w.hops + 1 FROM walk w JOIN edges e ON w.ptr = e.id
+        | WHERE w.hops < 300),
+        |term AS (
+        | SELECT w.id, w.ptr, w.hops FROM walk w
+        | WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.id = w.ptr)),
+        |src AS (SELECT DISTINCT id FROM edges)
+        |SELECT CAST(n.id AS BIGINT) AS id,
+        | CAST(CASE WHEN s.id IS NULL THEN n.id
+        |           WHEN t.id IS NOT NULL THEN t.ptr ELSE -1 END AS BIGINT)
+        |  AS final_id,
+        | CAST(CASE WHEN s.id IS NULL THEN 0
+        |           WHEN t.id IS NOT NULL THEN t.hops ELSE -1 END AS BIGINT)
+        |  AS hops,
+        | (s.id IS NULL OR t.id IS NOT NULL) AS resolved
+        |FROM nodes n LEFT JOIN src s ON n.id = s.id
+        | LEFT JOIN term t ON n.id = t.id
+        |ORDER BY n.id""".stripMargin,
     // b1: the WHOLE integer BM25 recomputed from first principles —
     // same bitlen idf (bin()), same integer avgdl, same cross-
     // multiplied tf saturation with // division, then t9's

@@ -1138,6 +1138,63 @@ class OpsSpec extends AnyFunSuite {
     assert(best.getAs[Long]("rank") == 1L, "rank 1 must be the argmax merge candidate")
   }
 
+  test("prefix shards equal a sequential running sum (sparse ids, zero weights)") {
+    import graft.ops.Pack
+    import spark.implicits._
+    // sparse ids (×7), deterministic weights with forced zeros, input
+    // deliberately NOT in id order — the packing must not care
+    val data = (0 until 500).map { i =>
+      val id = i.toLong * 7
+      val wt = if (id % 11 == 0) 0L else ((id * 0x9E3779B97F4A7C15L) >>> 40) % 50
+      (id, wt)
+    }
+    val shuffled = new scala.util.Random(7).shuffle(data)
+    val out = Pack.prefixShards(shuffled.toDF("doc_id", "n_toks"),
+        "doc_id", "n_toks", budget = 100L, bucketSize = 32L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_toks"), r.getAs[Long]("tok_offset"),
+          r.getAs[Long]("shard")))).toMap
+    assert(out.size == data.size)
+    var run = 0L
+    data.sortBy(_._1).foreach { case (id, wt) =>
+      assert(out(id) == ((wt, run, run / 100L)),
+        s"id=$id: got ${out(id)} want ($wt, $run, ${run / 100L})")
+      run += wt
+    }
+  }
+
+  test("redirect chains resolve to planted terminals; loops flagged unresolved") {
+    import graft.ops.Graph
+    import spark.implicits._
+    // a 200-hop chain (needs exactly ⌈log₂200⌉=8 doubling rounds), a
+    // short chain, and a 3-cycle that can never terminate
+    val chain = (0L until 200L).map(i => (i, i + 1))
+    val short = Seq((1000L, 1001L), (1001L, 1002L))
+    val cyc = Seq((2000L, 2001L), (2001L, 2002L), (2002L, 2000L))
+    val edges = (chain ++ short ++ cyc).toDF("src", "dst")
+    val out = Graph.resolveChains(edges, "src", "dst", maxRounds = 8)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("final_id"), r.getAs[Long]("hops"),
+          r.getAs[Boolean]("resolved")))).toMap
+    assert(out.size == 207)
+    (0L to 200L).foreach { i =>
+      assert(out(i) == ((200L, 200L - i, true)), s"chain node $i: ${out(i)}")
+    }
+    assert(out(1000L) == ((1002L, 2L, true)))
+    assert(out(1001L) == ((1002L, 1L, true)))
+    assert(out(1002L) == ((1002L, 0L, true)))
+    Seq(2000L, 2001L, 2002L).foreach { c =>
+      assert(!out(c)._3, s"cycle node $c must be unresolved")
+    }
+    // the doubling bound is real: 3 rounds reach ≤ 2³ hops, so distant
+    // chain nodes stay unresolved while near-terminal ones finish
+    val few = Graph.resolveChains(edges, "src", "dst", maxRounds = 3)
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[Boolean]("resolved")).toMap
+    assert(!few(0L), "200 hops cannot resolve in 3 doubling rounds")
+    assert(few(195L), "5 hops must resolve within 2^3")
+  }
+
   test("media decode: arbitrary payloads are error-as-row, never a crash") {
     import spark.implicits._
     // at 100 TB the decoders run on untrusted bytes: random tails

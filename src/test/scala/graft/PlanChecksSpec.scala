@@ -110,6 +110,21 @@ class PlanChecksSpec extends AnyFunSuite {
       s"the only row-stream shuffle is keyed by pair:\n${p.take(900)}")
   }
 
+  test("t21's corpus window is bucket-partitioned; offsets broadcast back") {
+    val p = plan("t21_pack_shards")
+    // the global-prefix-sum scale trap is an UN-partitioned window
+    // (SinglePartition Exchange of the whole corpus); the two-level
+    // scheme's corpus window must be keyed by the id-range bucket…
+    assert("hashpartitioning\\(bucket#\\d+".r.findFirstIn(p).isDefined,
+      s"the corpus prefix window must be PARTITIONED by bucket:\n${p.take(900)}")
+    // …with bucket totals map-side combined (one row per bucket ever
+    // reaches the lone single-partition window) and broadcast back
+    assert(p.contains("partial_sum"),
+      s"bucket totals must combine map-side:\n${p.take(900)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket offsets must broadcast back, not shuffle the corpus:\n${p.take(900)}")
+  }
+
   test("d7 broadcasts the bounded eval-set side, never sort-merges the corpus") {
     val p = plan("d7_decontaminate")
     assert(p.contains("BroadcastHashJoin"), p.take(800))
