@@ -39,6 +39,13 @@ object OpsQueries {
   private[ops] val blockedHostList: Seq[String] =
     Seq.tabulate(8)(i => s"site${i * 12 + 1}.example.com")
 
+  /** t22's planted target-domain marker tail (3× eight marker words) —
+    * ONE definition feeds the engine's corpus/target mutation and the
+    * oracle's string literals (coupling by construction; contains no
+    * quotes so it interpolates into SQL verbatim). */
+  private[ops] val dsirMarkerTail: String =
+    " dsq0 dsq1 dsq2 dsq3 dsq4 dsq5 dsq6 dsq7" * 3
+
   /** embeddings ∪ exact copies (vec_id+100000, every 9th vector). */
   private def embWithDups(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings").select("vec_id", "embedding")
@@ -760,6 +767,62 @@ object OpsQueries {
           .cast("long").as("n_toks"))
       Pack.prefixShards(docs, "doc_id", "n_toks", budget = 2048L,
         bucketSize = 64L).orderBy("doc_id")
+    }),
+    // t22: DSIR importance weighting (Xie et al. 2023, "Data Selection
+    // via Importance Resampling"): every corpus doc scored by the
+    // log-likelihood ratio of a hashed-unigram TARGET model vs the
+    // RAW-corpus model — the selection stat that up-weights
+    // target-domain-like docs before resampling. Features are hashed
+    // (fnv64 → splitmix64 & 255), so each model is a FIXED 256-row
+    // table regardless of vocabulary: both distribution passes
+    // map-side combine to ≤256 rows, the weight table BROADCASTS, and
+    // the only corpus-wide shuffle is the per-doc sum keyed by doc_id
+    // (no token-keyed join anywhere — contrast t10/t17). Integer-
+    // exact LLR: per-bucket weight = bitlen((tc+1)·2^20 div (ttot+256))
+    // − bitlen((rc+1)·2^20 div (rtot+256)) — floor-log2 probabilities
+    // with add-one smoothing, identical bit-for-bit at any parallelism
+    // (headroom: safe while a bucket's occurrence count < 2^43).
+    // Target = a marker-tailed release of the doc_id%13 slice (d7's
+    // eval residue); docs with doc_id%7==0 carry the same marker in
+    // the corpus, so selection (imp_bits > 0) has planted signal.
+    "t22_dsir_select" -> ((s, dir) => {
+      GraftSession.register(s)
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(dsirMarkerTail))).otherwise(col("text"))
+          .as("text"))
+      // target release: marker-dominated snippets of the eval slice
+      val target = docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 700000).as("doc_id"),
+          concat(substring(col("text"), 1, 64), lit(dsirMarkerTail)).as("text"))
+      def occ(df: DataFrame): DataFrame = df.select(col("doc_id"),
+        explode(split(trim(col("text")), "[ \\t\\n\\f\\r\\u000B]+")).as("tok"))
+        .select(col("doc_id"),
+          call_function("graft_mix64",
+            call_function("graft_fnv64", col("tok")))
+            .bitwiseAND(lit(255L)).as("bucket"))
+      // one tagged aggregation (no join): map-side combines to ≤256
+      // rows per partition on BOTH passes — the oracle's shape too
+      val counts = occ(target).withColumn("is_t", lit(1L))
+        .unionByName(occ(corpus).withColumn("is_t", lit(0L)))
+        .groupBy("bucket")
+        .agg(sum(col("is_t")).as("tc"), sum(lit(1L) - col("is_t")).as("rc"))
+      val tot = counts.agg(sum("tc"), sum("rc")).head
+      val (ttot, rtot) = (tot.getLong(0), tot.getLong(1))
+      val wt = counts.select(col("bucket"),
+        (length(bin(expr(s"(tc + 1) * 1048576 div (${ttot}L + 256)"))).cast("long")
+          - length(bin(expr(s"(rc + 1) * 1048576 div (${rtot}L + 256)"))).cast("long"))
+          .as("wbits"))
+      occ(corpus).join(broadcast(wt), "bucket")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("wbits").as("imp_bits"))
+        .select(col("doc_id"), col("n_tokens"),
+          col("imp_bits").cast("long").as("imp_bits"),
+          (col("imp_bits").cast("double") / col("n_tokens").cast("double"))
+            .as("imp_per_tok"),
+          (col("imp_bits") > 0).as("selected"))
+        .orderBy("doc_id")
     }),
     // per-host document cap (the crawl-balance step: no domain may
     // dominate the training mix). Deterministic SAMPLING, not
@@ -2332,6 +2395,55 @@ object OpsQueries {
         | FROM toks)
         |SELECT doc_id, n_toks, tok_offset, tok_offset // 2048 AS shard
         |FROM c ORDER BY doc_id""".stripMargin,
+    // t22: the full DSIR pipeline from first principles — the same
+    // marker-tailed corpus/target plants (shared dsirMarkerTail val),
+    // token FNV (fnvWordSql) → splitmix64 (mixCtes) → bucket = low 8
+    // bits, add-one-smoothed floor-log2 weights via length(bin(...)),
+    // per-doc sum over corpus occurrences. The %7/%13 plants and the
+    // 2^20 / 256-bucket constants are coupled to the query; change
+    // only in lockstep.
+    "t22_dsir_select" ->
+      s"""WITH corpus AS (
+         | SELECT doc_id,
+         |  CASE WHEN doc_id % 7 = 0 THEN text || '$dsirMarkerTail'
+         |       ELSE text END AS text
+         | FROM documents),
+         |target AS (
+         | SELECT doc_id + 700000 AS doc_id,
+         |        substr(text, 1, 64) || '$dsirMarkerTail' AS text
+         | FROM documents WHERE doc_id % 13 = 0),
+         |occ AS (
+         | SELECT doc_id, 0 AS is_t,
+         |  unnest(string_split_regex(trim(text), '$wsClassNoNbspSql')) AS tok
+         | FROM corpus
+         | UNION ALL
+         | SELECT doc_id, 1 AS is_t,
+         |  unnest(string_split_regex(trim(text), '$wsClassNoNbspSql')) AS tok
+         | FROM target),
+         |f AS (SELECT doc_id, is_t, $fnvWordSql AS h
+         |      FROM occ, LATERAL (SELECT tok AS w)),
+         |${mixCtes("f", "h", "dx", "mv", "doc_id, is_t")},
+         |bt AS (SELECT doc_id, is_t, mv & 255 AS bucket FROM dx_out),
+         |cnts AS (
+         | SELECT bucket,
+         |  CAST(SUM(is_t) AS BIGINT) AS tc,
+         |  CAST(SUM(1 - is_t) AS BIGINT) AS rc
+         | FROM bt GROUP BY bucket),
+         |tots AS (SELECT CAST(SUM(tc) AS BIGINT) AS ttot,
+         |                CAST(SUM(rc) AS BIGINT) AS rtot FROM cnts),
+         |wt AS (
+         | SELECT bucket,
+         |  CAST(length(bin(((tc + 1) * 1048576) // (ttot + 256))) AS BIGINT)
+         |  - CAST(length(bin(((rc + 1) * 1048576) // (rtot + 256))) AS BIGINT)
+         |   AS wbits
+         | FROM cnts, tots)
+         |SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         | CAST(SUM(wbits) AS BIGINT) AS imp_bits,
+         | CAST(SUM(wbits) AS DOUBLE) / COUNT(*) AS imp_per_tok,
+         | CAST(SUM(wbits) AS BIGINT) > 0 AS selected
+         |FROM bt b JOIN wt USING (bucket)
+         |WHERE b.is_t = 0
+         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
     // u3: the chains walked LINEARLY by a recursive CTE (the oracle
     // need not be fast, only exact); terminal = the first walked
     // pointer with no out-edge. Cycle ids never produce a terminal

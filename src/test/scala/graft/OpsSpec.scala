@@ -1111,7 +1111,7 @@ class OpsSpec extends AnyFunSuite {
         val id = r.getAs[Long]("doc_id")
         val toks = (texts(id) +
           (if (id % 3 == 0) s" bmq${id % 7}" else "")).trim
-          .split("[ \t\n\f\r]+").toSet
+          .split("[ \t\n\f\r\u000B]+").toSet
         assert(toks.intersect(qterms(q)).nonEmpty, s"qid=$q doc=$id bears no query term")
         assert(r.getAs[Long]("score") > 0, s"qid=$q doc=$id")
       }
@@ -1123,7 +1123,7 @@ class OpsSpec extends AnyFunSuite {
       .select("text").collect().map(_.getString(0))
     val counts = scala.collection.mutable.Map[String, Long]()
     docs.foreach { txt =>
-      txt.replaceAll("^ +| +$", "").split("[ \t\n\f\r]+")
+      txt.replaceAll("^ +| +$", "").split("[ \t\n\f\r\u000B]+")
         .filter(_.length >= 2).foreach { w =>
           (0 until w.length - 1).foreach { i =>
             val p = w.substring(i, i + 2)
@@ -1136,6 +1136,52 @@ class OpsSpec extends AnyFunSuite {
       == counts.toMap)
     val best = out.minBy(r => (-r.getAs[Long]("cnt"), r.getAs[String]("pair")))
     assert(best.getAs[Long]("rank") == 1L, "rank 1 must be the argmax merge candidate")
+  }
+
+  test("DSIR weights equal a first-principles recomputation; plants separate") {
+    import graft.expr.Hash64
+    val marker = " dsq0 dsq1 dsq2 dsq3 dsq4 dsq5 dsq6 dsq7" * 3
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def toks(t: String): Array[String] =
+      t.replaceAll("^ +| +$", "").split("[ \t\n\f\r\u000B]+")
+    def bucket(tok: String): Int = (Hash64.mix(Hash64.fnv1a(tok)) & 255L).toInt
+    def bitlen(x: Long): Long =
+      if (x == 0) 1L else 64L - java.lang.Long.numberOfLeadingZeros(x)
+    val corpus = docs.map { case (id, t) =>
+      (id, if (id % 7 == 0) t + marker else t) }
+    val target = docs.filter(_._1 % 13 == 0)
+      .map { case (_, t) => t.take(64) + marker }
+    val tc = new Array[Long](256); val rc = new Array[Long](256)
+    target.foreach(t => toks(t).foreach(w => tc(bucket(w)) += 1))
+    corpus.foreach { case (_, t) => toks(t).foreach(w => rc(bucket(w)) += 1) }
+    val (ttot, rtot) = (tc.sum, rc.sum)
+    def wbits(b: Int): Long =
+      bitlen((tc(b) + 1) * 1048576L / (ttot + 256)) -
+        bitlen((rc(b) + 1) * 1048576L / (rtot + 256))
+    val want = corpus.map { case (id, t) =>
+      val ts = toks(t)
+      id -> ((ts.length.toLong, ts.map(w => wbits(bucket(w))).sum))
+    }.toMap
+    val out = OpsQueries.all("t22_dsir_select")(spark, sf).collect()
+    assert(out.length == want.size)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (n, imp) = want(id)
+      assert(r.getAs[Long]("n_tokens") == n, s"doc $id n_tokens")
+      assert(r.getAs[Long]("imp_bits") == imp, s"doc $id imp_bits")
+      assert(r.getAs[Boolean]("selected") == (imp > 0), s"doc $id selected")
+    }
+    // planted separation: marker-tailed docs score strictly higher on
+    // average, and nothing unmarked is ever selected
+    val (marked, unmarked) = out.partition(_.getAs[Long]("doc_id") % 7 == 0)
+    def meanIpt(rs: Array[org.apache.spark.sql.Row]): Double =
+      rs.map(_.getAs[Double]("imp_per_tok")).sum / rs.length
+    assert(meanIpt(marked) > meanIpt(unmarked) + 0.5,
+      s"marked ${meanIpt(marked)} vs unmarked ${meanIpt(unmarked)}")
+    assert(unmarked.forall(!_.getAs[Boolean]("selected")),
+      "an unmarked doc crossed the positive-LLR gate")
   }
 
   test("prefix shards equal a sequential running sum (sparse ids, zero weights)") {

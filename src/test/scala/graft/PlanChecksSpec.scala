@@ -125,6 +125,16 @@ class PlanChecksSpec extends AnyFunSuite {
       s"bucket offsets must broadcast back, not shuffle the corpus:\n${p.take(900)}")
   }
 
+  test("t22: the 256-row DSIR weight table broadcasts; corpus shuffles only by doc_id") {
+    val p = plan("t22_dsir_select")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bucket-weight table must broadcast:\n${p.take(900)}")
+    assert(!p.contains("SortMergeJoin"),
+      "no token- or bucket-keyed sort-merge may reach the corpus stream")
+    assert("hashpartitioning\\(doc_id#\\d+".r.findFirstIn(p).isDefined,
+      s"the only corpus-wide shuffle is the per-doc sum:\n${p.take(900)}")
+  }
+
   test("d7 broadcasts the bounded eval-set side, never sort-merges the corpus") {
     val p = plan("d7_decontaminate")
     assert(p.contains("BroadcastHashJoin"), p.take(800))
