@@ -324,6 +324,34 @@ object OpsQueries {
         .select(col("query_id"), col("rank"), col("neighbor_id"))
         .orderBy("query_id", "rank")
     }),
+    // s4: cluster-balanced diversity sampling — the embedding-space
+    // counterpart of t9's per-host cap (and SemDeDup's selection
+    // sibling): assign every vector to its IVF cell (the same
+    // integer-exact k-means as s3/d13), keep a deterministic top-K
+    // per cell by splitmix64 priority — a subset balanced across
+    // semantic clusters instead of hosts, so no single dense region
+    // dominates the training mix. Scale shape: training/assignment
+    // are IvfIndex's (shuffle-free literal-argmin, no Exchange); the
+    // cap is graft_topk's bounded-heap PARTIAL aggregate (map-side
+    // top-K per cell, never a hot-cell window sort); output is
+    // cells×K rows, no join-back.
+    "s4_cluster_sample" -> ((s, dir) => {
+      GraftSession.register(s)
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val cents = IvfIndex.train(emb, k = 16, iters = 2)
+      IvfIndex.assign(emb, cents)
+        .select(col("cluster"), col("vec_id"),
+          shiftrightunsigned(call_function("graft_mix64", col("vec_id")), 11)
+            .cast("double").as("score"))
+        .groupBy("cluster")
+        .agg(call_function("graft_topk", col("score"), col("vec_id"), lit(8))
+          .as("top"))
+        .select(col("cluster"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("e.id").as("vec_id"),
+          col("cluster").cast("long").as("cluster"),
+          (col("pos") + 1).cast("long").as("rank"))
+        .orderBy("vec_id")
+    }),
     // repetition filter: distinct-trigram ratio (training-data quality)
     "t5_repetition" -> ((s, dir) => {
       GraftSession.register(s)
@@ -1953,6 +1981,27 @@ object OpsQueries {
 
   def oracles: Map[String, String] = Map(
     "s3_ann_ivf" -> s3OracleSql,
+    // s4: s3's ENTIRE IVF training replayed (ivfTrainingCtes — one
+    // builder feeds s3/d13/s4, so any IvfIndex change alters all
+    // three identically by construction), then t9's splitmix64
+    // top-53-bit priority and row_number heap-order mirror,
+    // partitioned by cluster instead of host. K=8 is coupled to the
+    // query's graft_topk literal.
+    "s4_cluster_sample" ->
+      s"""WITH ${ivfTrainingCtes("embeddings", "asg")},
+         |m0 AS (SELECT vec_id, CAST(vec_id AS UBIGINT) AS x FROM embeddings),
+         |${mixCtes("m0", "x", "cs", "mx", "vec_id")},
+         |scored AS (
+         | SELECT a.vec_id, a.cluster, CAST(mx >> 11 AS DOUBLE) AS score
+         | FROM asg a JOIN cs_out USING (vec_id)),
+         |ranked AS (
+         | SELECT vec_id, cluster,
+         |  row_number() OVER (PARTITION BY cluster ORDER BY score DESC, vec_id)
+         |   AS rank
+         | FROM scored)
+         |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+         |       CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= 8 ORDER BY vec_id""".stripMargin,
     "d3_minhash_lsh" -> d3OracleSql,
     "d12_fuzzy_decon" -> d12OracleSql,
     "d13_semdedup" -> d13OracleSql,

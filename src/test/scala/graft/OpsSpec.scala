@@ -1138,6 +1138,38 @@ class OpsSpec extends AnyFunSuite {
     assert(best.getAs[Long]("rank") == 1L, "rank 1 must be the argmax merge candidate")
   }
 
+  test("cluster sample: per-IVF-cell top-K equals the window reference") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.IvfIndex
+    GraftSession.register(spark)
+    val out = OpsQueries.all("s4_cluster_sample")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster"),
+        r.getAs[Long]("rank")))
+    assert(out.nonEmpty)
+    // ≤K per cell, ranks contiguous from 1
+    out.groupBy(_._2).foreach { case (cl, rows) =>
+      assert(rows.length <= 8 &&
+        rows.map(_._3).sorted.toSeq == (1L to rows.length),
+        s"cell $cl: ${rows.map(_._3).sorted.mkString(",")}")
+    }
+    // the bounded-heap result must equal the window-ranking reference
+    // over the SAME training run (IvfIndex is deterministic)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val cents = IvfIndex.train(emb, k = 16, iters = 2)
+    val ref = IvfIndex.assign(emb, cents)
+      .select(col("cluster"), col("vec_id"),
+        shiftrightunsigned(call_function("graft_mix64", col("vec_id")), 11)
+          .cast("double").as("score"))
+      .withColumn("rank", row_number().over(Window.partitionBy("cluster")
+        .orderBy(col("score").desc, col("vec_id"))))
+      .filter(col("rank") <= 8)
+      .collect().map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Int]("cluster").toLong, r.getAs[Int]("rank").toLong))
+      .sortBy(_._1)
+    assert(out.sortBy(_._1).toSeq == ref.toSeq)
+  }
+
   test("DSIR weights equal a first-principles recomputation; plants separate") {
     import graft.expr.Hash64
     val marker = " dsq0 dsq1 dsq2 dsq3 dsq4 dsq5 dsq6 dsq7" * 3

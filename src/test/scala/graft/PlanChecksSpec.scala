@@ -222,7 +222,7 @@ class PlanChecksSpec extends AnyFunSuite {
     // b1's per-query retrieval ranking likewise: posting lists merge
     // through map-side partial top-Ks, never a per-query window sort
     Seq("s1_cosine_topk", "s2_ann_lsh", "s3_ann_ivf", "t9_host_cap",
-        "b1_bm25").foreach { q =>
+        "b1_bm25", "s4_cluster_sample").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Window"),
         s"$q must not rank via a global window (shuffles every scored row):\n${p.take(600)}")
