@@ -113,6 +113,23 @@ object GraftSession {
         Cast(exprs.head, org.apache.spark.sql.types.DoubleType),
         Cast(exprs(1), org.apache.spark.sql.types.LongType), k)
     },
+    // bounded id-set aggregate (single-pass df-cap for inverted-index
+    // pair generation): 2nd arg is the plan-time literal cap
+    "graft_capped_ids" -> { exprs =>
+      val cap = foldableArg("graft_capped_ids", 1, exprs(1)) match {
+        case n: java.lang.Byte => n.intValue()
+        case n: java.lang.Short => n.intValue()
+        case n: java.lang.Integer => n.intValue()
+        case n: java.lang.Long if n.longValue == n.intValue.toLong => n.intValue()
+        case other => throw new IllegalArgumentException(
+          s"graft_capped_ids: cap must be an Int-range integer literal, got $other")
+      }
+      if (cap < 1)
+        throw new IllegalArgumentException(
+          s"graft_capped_ids: cap must be >= 1, got $cap")
+      graft.expr.CappedIdsAgg(
+        Cast(exprs.head, org.apache.spark.sql.types.LongType), cap)
+    },
     // HyperLogLog register aggregate (scale-safe distinct sketch):
     // 2nd arg is the plan-time literal precision p
     "graft_hll" -> { exprs =>

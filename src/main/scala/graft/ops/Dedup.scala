@@ -53,16 +53,30 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         minJaccard: Double, dfCap: Int = 1000): DataFrame = {
     val inv = docs.select(col(idCol).as("id"), explode(shingles(col(textCol))).as("shingle"))
-    // hot set is small by construction (few shingles exceed dfCap docs)
-    // → broadcastable at any corpus size; the rare set is most of the
-    // vocabulary and must never be the broadcast side.
-    val hot = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") > dfCap).select("shingle")
-    val rinv = inv.join(broadcast(hot), Seq("shingle"), "left_anti")
-    val rn = rinv.groupBy("id").agg(count(lit(1)).as("n"))
-    val shared = rinv.as("a").join(rinv.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // ONE combiner-friendly pass (r6 rewrite): graft_capped_ids
+    // collects each shingle's ≤ dfCap doc ids and collapses hot
+    // shingles (row count > dfCap — exactly the old `df > dfCap` set,
+    // the inverted index being distinct per (id, shingle)) to NULL
+    // with bounded per-key state. The old shape needed a count
+    // aggregate to find hot shingles, a broadcast anti-join to drop
+    // them, and a shingle-keyed SELF-join to count pairs — and the
+    // executed plan recomputed the corpus shingle explode for every
+    // consumer (~6 passes, zero ReusedExchange). Pair counts and
+    // per-doc set sizes now both derive ROW-LOCALLY from the one
+    // MATERIALIZED (localCheckpoint) grouped table: a sorted id list
+    // emits exactly the (a<b) pairs the self-join produced,
+    // dfCap²/2-bounded per shingle either way.
+    val grouped = inv.groupBy("shingle")
+      .agg(call_function("graft_capped_ids", col("id"), lit(dfCap)).as("ids"))
+      .filter(col("ids").isNotNull)
+      .localCheckpoint()
+    val rn = grouped.select(explode(col("ids")).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n"))
+    val shared = grouped
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id_a")))
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("i") + 2, size(col("ids")))).as("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared"))
     shared
       .join(rn.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
@@ -94,9 +108,16 @@ object Dedup {
     * this op needs no stop-gram cap). */
   def substringDupStats(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 8): DataFrame = {
+    // materialized once (localCheckpoint): the window table feeds both
+    // the min-occurrence aggregate and the join-back probe — without
+    // the barrier each side re-runs the tokenize+hash generate over
+    // the corpus (r6 plan audit: the broadcast build defeated the
+    // documented Exchange reuse). 8-byte hashes per window, the same
+    // rows the whash exchanges already carry.
     val wins = docs.select(col(idCol).cast("long").as("doc_id"),
         posexplode(call_function("graft_token_windows", col(textCol), lit(k))))
       .toDF("doc_id", "pos", "whash")
+      .localCheckpoint()
     val firsts = wins.groupBy("whash")
       .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
     wins.join(firsts, "whash")
@@ -135,10 +156,15 @@ object Dedup {
     * rejoined by `sep` ("" when nothing survives). */
   def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
                      sep: String = "\n"): DataFrame = {
+    // materialized once (localCheckpoint), same rationale as
+    // substringDupStats: the paragraph table feeds both the keeper
+    // aggregate and the join-back probe, and without the barrier each
+    // side re-splits and re-hashes the corpus.
     val paras = docs.select(col(idCol).cast("long").as("doc_id"),
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
       .toDF("doc_id", "idx", "para")
       .withColumn("ph", call_function("graft_fnv64", col("para")))
+      .localCheckpoint()
     val firsts = paras.groupBy("ph")
       .agg(min(struct(col("doc_id"), col("idx"))).as("first"))
     paras.join(firsts, "ph")
@@ -189,17 +215,19 @@ object Dedup {
                     maxEvalShingles: Long = 5000000L,
                     bloomFpp: Double = 0.01,
                     maxBloomItems: Long = 2000000000L): DataFrame = {
-    val evalSh = evalSet
-      .select(explode(shingles(col(textCol))).as("shingle")).distinct()
-    // deliberately NOT persisted: the join recomputes the (bounded,
-    // cheap) eval-side aggregation once rather than leaking one cached
-    // dataset per invocation for the session lifetime. The count is
-    // the guard's price and is inherently eager — the plan choice
-    // below depends on it.
+    // MATERIALIZED once (localCheckpoint — r6): the eval shingle set is
+    // read up to three times (the guard count, the Bloom build, the
+    // join build side), and each read re-exploded the eval corpus. It
+    // is bounded by construction (benchmark suites), so caching it is
+    // the textbook small-side persist; the count doubles as the eager
+    // materialization the guard needs anyway.
     // The merge hint on the fallback keeps the static planner's own
     // stats-based auto-broadcast from resurrecting the driver-side
     // collect the guard just ruled out (AQE may still build a runtime
     // broadcast if the ACTUAL size proves tiny — that is safe)
+    val evalSh = evalSet
+      .select(explode(shingles(col(textCol))).as("shingle")).distinct()
+      .localCheckpoint()
     val nEval = evalSh.count()
     val inv = corpus.select(col(idCol), explode(shingles(col(textCol))).as("shingle"))
     val probe =
@@ -234,9 +262,22 @@ object Dedup {
     // every band with est_jaccard 1.0 even for unrelated texts. Drop
     // them: array_min(sig) == MaxValue ⇔ every element is the sentinel
     // (a real shingle minimum below MaxValue in all k permutations).
+    //
+    // The signature table is MATERIALIZED (localCheckpoint) before the
+    // sentinel filter and the band self-join: without the barrier the
+    // pushed-down sentinel filter re-evaluates graft_minhash per row
+    // (once in the Filter, once in the Project) and the self-join
+    // recomputes the whole scan+minhash subtree for each side — ~4
+    // signature passes where one suffices (r6 plan audit: zero
+    // ReusedExchange in the executed plan). The cached table is
+    // id + k longs per doc — strictly smaller than what the band join
+    // already ships through its exchanges (each banded row carries the
+    // full sig), so the guide-§8 "decide on small rows" trade holds at
+    // any corpus size; MEMORY_AND_DISK spills rather than OOMs.
     val sig = docs.select(
         col(idCol).as("id"),
         call_function("graft_minhash", col(textCol)).as("sig"))
+      .localCheckpoint()
       .filter(array_min(col("sig")) =!= lit(Long.MaxValue))
     val banded = sig.select(
       col("id"), col("sig"),
@@ -284,10 +325,15 @@ object Dedup {
                          maxEvalDocs: Long = 10000000L): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val r = k / bands
-    // same <3-word sentinel discipline as minhashPairs
+    // same <3-word sentinel discipline as minhashPairs. The signature
+    // is computed through an explode(array(…)) Generate — the x14
+    // single-evaluation fence: without it the pushed-down sentinel
+    // filter re-evaluates graft_minhash per row (once in the Filter,
+    // once in the Project). No cache: the corpus side streams once at
+    // any scale, so a fence (not a checkpoint) is the right barrier.
     def banded(df: DataFrame, id: String, outId: String, sigName: String) =
       df.select(col(id).as(outId),
-          call_function("graft_minhash", col(textCol)).as(sigName))
+          explode(array(call_function("graft_minhash", col(textCol)))).as(sigName))
         .filter(array_min(col(sigName)) =!= lit(Long.MaxValue))
         .select(col(outId), col(sigName),
           posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -321,8 +367,13 @@ object Dedup {
       "need 64 % chunks == 0 and chunks > maxHamming (pigeonhole guarantee)")
     val width = 64 / chunks
     val mask = if (width == 64) -1L else (1L << width) - 1
+    // materialized once (localCheckpoint — r6): both sides of the
+    // chunk self-join otherwise recompute the corpus simhash pass
+    // (zero ReusedExchange under the broadcast build). One id + one
+    // long per doc — the minimal proxy table of guide §8.
     val fp = docs.select(col(idCol).as("id"),
       call_function("graft_simhash", col(textCol)).as("fp"))
+      .localCheckpoint()
     val chunked = fp.select(col("id"), col("fp"),
       explode(array((0 until chunks).map { ci =>
         struct(lit(ci).as("chunk"),
@@ -464,7 +515,12 @@ object Dedup {
                         idCol: String, textCol: String,
                         bloomFpp: Double = 0.01,
                         maxBloomItems: Long = 2000000000L): DataFrame = {
+    // batch shas materialized once (localCheckpoint — r6): the batch
+    // side is read four times (guard count, Bloom build, semi probe,
+    // anti probe + first-id agg) and re-hashed each time without the
+    // barrier. Bounded by the increment, 32 bytes + id per row.
     val bsha = batch.select(col(idCol), sha2(col(textCol), 256).as("sha"))
+      .localCheckpoint()
     val cshaAll = corpus.select(sha2(col(textCol), 256).as("sha"))
     val nBatch = bsha.count() // bounded: the increment, not the corpus
     val csha =
@@ -518,7 +574,11 @@ object Dedup {
                k: Int, iters: Int, minCosine: Double): DataFrame = {
     val e = emb.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
     val cents = IvfIndex.train(e, k, iters)
-    val asg = IvfIndex.assign(e, cents)
+    // assignment materialized once (localCheckpoint — r6): it feeds
+    // both sides of the cluster-keyed self-join AND the output
+    // projection — three scan+argmin passes without the barrier
+    // (assign itself stays the shuffle-free literal argmin).
+    val asg = IvfIndex.assign(e, cents).localCheckpoint()
     val dominated = asg.as("a").join(asg.as("b"),
         col("a.cluster") === col("b.cluster") &&
           col("b.vec_id") < col("a.vec_id"))

@@ -66,6 +66,9 @@ object Graph {
     require(n > 0, "pageRank: empty graph")
     val base = (15L * scale) / (100L * n)
     var ranks = nodes.withColumn("rank", lit(scale / n))
+    // previous round's checkpoint — released as soon as the next one
+    // is materialized (the connectedComponents discipline)
+    var prevCp: Option[DataFrame] = None
     (1 to iters).foreach { i =>
       val contrib = e
         .join(ranks.select(col("host").as("src"), col("rank")), "src")
@@ -77,22 +80,38 @@ object Graph {
         .select(col("host"),
           (lit(base) + coalesce(col("contrib"), lit(0L))).as("rank"))
       dangling.foreach { d =>
-        // D = total rank entering the round on dangling nodes; one
-        // small agg job per round (rank table is nodes-sized)
-        val row = ranks.join(d, Seq("host"), "left_semi")
-          .agg(sum("rank")).head()
-        val mass = if (row.isNullAt(0)) 0L else row.getLong(0)
-        val add = (85L * mass) / (100L * n)
-        if (add != 0L) next = next.withColumn("rank", col("rank") + lit(add))
+        // D = total rank entering the round on dangling nodes,
+        // attached LAZILY as a broadcast 1-row aggregate (r6): the old
+        // per-round driver `.head()` made every round an eager job
+        // that re-executed the growing rank chain — O(iters²) stage
+        // executions. The per-node term is the identical floored
+        // division ((85·D) div (100·n), remainder dropped; adding a
+        // 0-mass term is the identity the old `add != 0` guard
+        // special-cased), so the result is bit-for-bit unchanged.
+        val dmass = ranks.join(d, Seq("host"), "left_semi")
+          .agg(coalesce(sum("rank"), lit(0L)).as("dmass__"))
+        next = next.crossJoin(broadcast(dmass))
+          .withColumn("rank",
+            col("rank") + expr(s"(85 * dmass__) div (100 * ${n}L)"))
+          .drop("dmass__")
       }
-      // periodic lineage truncation: without it the plan (and the
-      // recovery chain) grows per round — fine at iters=3, a wall at
-      // iters=50 (same discipline as connectedComponents)
-      ranks = if (i % checkpointInterval == 0 && i < iters) cp(next) else next
+      // lineage truncation: per `checkpointInterval` rounds — and every
+      // round when redistributing, because the lazy dangling aggregate
+      // references `ranks` a second time and an unbroken chain would
+      // double the plan per round (same discipline as
+      // connectedComponents: materialize, then drop the previous cp)
+      val mustCp = (dangling.isDefined || i % checkpointInterval == 0) && i < iters
+      ranks = if (mustCp) {
+        val nxt = cp(next)
+        prevCp.foreach(_.unpersist())
+        prevCp = Some(nxt)
+        nxt
+      } else next
     }
     // checkpoint the result so the loop-invariant frames can be
     // unpersisted NOW instead of leaking into session LRU (VERDICT r4)
     val out = cp(ranks)
+    prevCp.foreach(_.unpersist())
     dangling.foreach(_.unpersist())
     outdeg.unpersist()
     nodes.unpersist()
@@ -172,6 +191,7 @@ object Graph {
       .select(col("id"), col("ptr").as("final_id"), col("hops"),
         coalesce(!col("still_src"), lit(true)).as("resolved"))
     val res = cp(out)
+    f.unpersist() // the final pointer table fed `res`; drop its blocks
     e.unpersist()
     res
   }

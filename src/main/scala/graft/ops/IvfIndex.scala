@@ -76,22 +76,44 @@ object IvfIndex {
       .select(transform(col("embedding"), x => x.cast("double")).as("c"))
       .as[Array[Double]].collect()
     var cents = Centroids(init)
+    // ONE typed projection reused by every Lloyd iteration: the
+    // nearest-centroid argmin runs INSIDE the partition closure —
+    // bit-identical to `assign`'s literal argmin (same left-to-right
+    // (x−y)² double fold, same first-minimum tie-break) — instead of
+    // as a k×dim literal expression tree. Re-planning and re-compiling
+    // that expression per iteration dominated training wall time at
+    // bench scale (r6); the closure reads the same centroid values the
+    // literal would embed. `assign` itself (the query-facing,
+    // plan-asserted shuffle-free projection) is unchanged.
+    val vecs = emb.select(col("embedding")).as[Array[Float]]
     var it = 0
     while (it < iters) {
-      val partials = assign(emb, cents)
-        .select(col("cluster"), col("embedding")).as[(Int, Array[Float])]
+      val cc = cents.cents
+      val partials = vecs
         .mapPartitions { rows =>
           val acc = new java.util.HashMap[Int, (Long, Array[Long])]()
-          rows.foreach { case (c, v) =>
-            val e = acc.get(c)
+          rows.foreach { v =>
+            var best = 0; var bestD = Double.MaxValue
+            var c = 0
+            while (c < cc.length) {
+              val cent = cc(c)
+              var d = 0.0
+              var i = 0
+              while (i < cent.length) {
+                val t = v(i).toDouble - cent(i); d += t * t; i += 1
+              }
+              if (d < bestD) { bestD = d; best = c }
+              c += 1
+            }
+            val e = acc.get(best)
             if (e == null) {
               val s = new Array[Long](v.length)
               var i = 0; while (i < v.length) { s(i) = quant(v(i).toDouble); i += 1 }
-              acc.put(c, (1L, s))
+              acc.put(best, (1L, s))
             } else {
               val (n, s) = e
               var i = 0; while (i < v.length) { s(i) += quant(v(i).toDouble); i += 1 }
-              acc.put(c, (n + 1L, s))
+              acc.put(best, (n + 1L, s))
             }
           }
           import scala.jdk.CollectionConverters._

@@ -303,12 +303,21 @@ object OpsQueries {
       // broadcast the HOT side (small by construction) and anti-join:
       // the rare set is most of the vocabulary and can never be the
       // broadcast side at corpus scale (same discipline as d2's dfCap)
-      val hot = fp.groupBy("fp").agg(count(lit(1)).as("df"))
-        .filter(col("df") > 50).select("fp")
-      val fpr = fp.join(broadcast(hot), Seq("fp"), "left_anti")
-      fpr.as("a").join(fpr.as("b"),
-          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      // d2's r6 restructure, single pass: graft_capped_ids collects
+      // each fingerprint's ≤50 sorted doc ids (Winnow emits a distinct
+      // set per doc, so ids are unique) and collapses hot fingerprints
+      // (df > 50) to NULL with bounded state; (a<b) pairs then emit
+      // row-locally from the one MATERIALIZED grouped table — the old
+      // fp-keyed self-join recomputed the corpus fingerprint pass per
+      // side and the hot aggregate four times (zero ReusedExchange)
+      val grouped = fp.groupBy("fp")
+        .agg(call_function("graft_capped_ids", col("doc_id"), lit(50)).as("ids"))
+        .filter(col("ids").isNotNull)
+        .localCheckpoint()
+      grouped.select(col("ids"), posexplode(col("ids")).as(Seq("i", "id_a")))
+        .select(col("id_a"),
+          explode(slice(col("ids"), col("i") + 2, size(col("ids")))).as("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
         .agg(count(lit(1)).as("shared_fp"))
         .filter(col("shared_fp") >= 8)
         .orderBy("id_a", "id_b")
@@ -913,14 +922,25 @@ object OpsQueries {
           concat(lit(" bmq"), col("doc_id") % 7)).otherwise(lit("")))
       val toks = t(s, dir, "documents").select(col("doc_id"),
         explode(split(trim(planted), "[ \\t\\n\\f\\r\\u000B]+")).as("tok"))
+      // tf materialized once (localCheckpoint — r6): doclen, the global
+      // stats, the query-term prune and the scoring join all derive
+      // from it, and each consumer otherwise re-ran the corpus
+      // explode+aggregate (~4 passes, zero ReusedExchange)
       val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
       val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
       val glob = dl.agg(count(lit(1)).as("n"), sum("dl").as("tt"))
         .select(col("n"), expr("tt DIV n").as("avgdl"))
       val tfq = tf.join(broadcast(qterms.select("tok").distinct()), "tok")
       val dfreq = tfq.groupBy("tok").agg(count(lit(1)).as("df"))
+      // doclen pruned to the candidate set BEFORE the scoring join
+      // (VERDICT r5 #6): dl is corpus-sized while only query-term-
+      // bearing docs survive — the left-semi prune cuts the doc_id
+      // shuffle to the candidate set (same rows by construction:
+      // every tfq doc_id is in dl)
+      val dlq = dl.join(tfq.select("doc_id"), Seq("doc_id"), "left_semi")
       tfq.join(broadcast(dfreq), "tok")
-        .join(dl, "doc_id")
+        .join(dlq, "doc_id")
         .crossJoin(broadcast(glob))
         .join(broadcast(qterms), "tok")
         .withColumn("idf",
