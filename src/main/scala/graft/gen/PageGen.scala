@@ -1,9 +1,58 @@
 package graft.gen
 
-import java.util.Random
 import java.util.zip.Deflater
 
 import graft.extract.Assemble
+
+/** Drop-in reimplementation of java.util.Random's SPECIFIED algorithm
+  * (the 48-bit LCG with documented scramble, next(bits), nextInt-bound
+  * rejection loop, nextBoolean and nextBytes) without the AtomicLong
+  * CAS — generation is single-threaded per row, and the JDK's
+  * compareAndSet loop on every draw was measurable across the ~150
+  * draws each synthesized page makes (r6). Bit-identical sequences by
+  * construction (the JDK javadoc specifies the exact algorithm), so
+  * every fixture, golden digest and checksum is unchanged —
+  * CoreExtractionSpec/GoldenFixtureSpec attest it. */
+final class Random(seed0: Long) {
+  private[this] var seed = (seed0 ^ 0x5DEECE66DL) & ((1L << 48) - 1)
+
+  @inline private def next(bits: Int): Int = {
+    seed = (seed * 0x5DEECE66DL + 0xBL) & ((1L << 48) - 1)
+    (seed >>> (48 - bits)).toInt
+  }
+
+  def nextInt(): Int = next(32)
+
+  def nextInt(bound: Int): Int = {
+    require(bound > 0)
+    val m = bound - 1
+    var r = next(31)
+    if ((bound & m) == 0) ((bound * r.toLong) >> 31).toInt
+    else {
+      var u = r
+      r = u % bound
+      while (u - r + m < 0) { u = next(31); r = u % bound }
+      r
+    }
+  }
+
+  def nextBoolean(): Boolean = next(1) != 0
+
+  def nextBytes(bytes: Array[Byte]): Unit = {
+    var i = 0
+    val len = bytes.length
+    while (i < len) {
+      var rnd = nextInt()
+      var n = math.min(len - i, 4)
+      while (n > 0) {
+        bytes(i) = rnd.toByte
+        rnd >>= 8
+        i += 1
+        n -= 1
+      }
+    }
+  }
+}
 
 /** One input row — exactly the `input_hint` shape from BASELINE.json:
   * (url:string, warc_ts:timestamp, html:binary, text:string, lang:string).

@@ -431,30 +431,42 @@ object Dedup {
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
     def cp(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    // convergence sums ride each round's checkpoint job as OBSERVED
+    // metrics (r6): the eager cp already executes the round, so a
+    // separate aggregate action per round was one redundant job each —
+    // observe() folds it into the same pass (observed metrics fire on
+    // the checkpoint's materializing action; OpsSpec's checkpointDir
+    // equivalence test covers the reliable-checkpoint path too).
+    // Decimal accumulator as before: 10^12 ids cannot overflow.
+    def cpSum(df: DataFrame, c: String): (DataFrame, java.math.BigDecimal) = {
+      val obs = org.apache.spark.sql.Observation()
+      val out = cp(df.observe(obs, sum(col(c).cast("decimal(38,0)")).as("s")))
+      val d = obs.get("s").asInstanceOf[java.math.BigDecimal]
+      (out, if (d == null) java.math.BigDecimal.ZERO else d)
+    }
     val sym = pairs
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+    // the edge count rides the edges checkpoint the same way (the old
+    // `edges.isEmpty` was one more action)
+    val obsE = org.apache.spark.sql.Observation()
     val edges = cp(sym
       .union(sym.select(col("src"), col("src").as("dst"))) // self-loops
-      .distinct())
-    var labels = cp(edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id")))
-    def labelSum(df: DataFrame): java.math.BigDecimal = {
-      val d = df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
-      if (d == null) java.math.BigDecimal.ZERO else d
-    }
-    var prevSum = labelSum(labels)
-    var done = edges.isEmpty
+      .distinct()
+      .observe(obsE, count(lit(1)).as("n")))
+    var (labels, prevSum) = cpSum(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("component", col("id")), "component")
+    var done = obsE.get("n").asInstanceOf[java.lang.Long] == 0L
     var round = 0
     // maxRounds bounds PROPAGATION rounds (≥ the largest component's
     // diameter); detecting the fixpoint costs one extra round that
     // observes an unchanged label sum, hence `<= maxRounds`: a graph
     // whose diameter equals maxRounds exactly must be accepted
     while (!done && round <= maxRounds) {
-      val next = cp(edges
+      val (next, nextSum) = cpSum(edges
         .join(labels.select(col("id").as("dst"), col("component").as("dst_comp")), "dst")
-        .groupBy(col("src").as("id")).agg(min("dst_comp").as("component")))
-      val nextSum = labelSum(next)
+        .groupBy(col("src").as("id")).agg(min("dst_comp").as("component")), "component")
       done = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       labels.unpersist()

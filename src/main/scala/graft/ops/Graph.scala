@@ -156,29 +156,33 @@ object Graph {
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     def cp(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    // hop sums ride each round's checkpoint job as OBSERVED metrics
+    // (r6, the connectedComponents discipline): the eager cp already
+    // executes the round, so a separate aggregate action per round was
+    // one redundant job each
+    def cpHopSum(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
+      val obs = org.apache.spark.sql.Observation()
+      val out = cp(df.observe(obs, sum(col("hops").cast("decimal(38,0)")).as("s")))
+      val d = obs.get("s").asInstanceOf[java.math.BigDecimal]
+      (out, if (d == null) java.math.BigDecimal.ZERO else d)
+    }
     val e = cp(edges.select(col(srcCol).cast("long").as("id"),
       col(dstCol).cast("long").as("nxt")))
     val nodes = e.select(col("id"))
       .union(e.select(col("nxt").as("id"))).distinct()
     // f₀: redirecting nodes point one hop ahead, terminals at self
-    var f = cp(nodes.join(e, Seq("id"), "left_outer")
+    var (f, prevSum) = cpHopSum(nodes.join(e, Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("nxt"), col("id")).as("ptr"),
         when(col("nxt").isNull, 0L).otherwise(1L).as("hops")))
-    def hopSum(df: DataFrame): java.math.BigDecimal = {
-      val d = df.agg(sum(col("hops").cast("decimal(38,0)"))).head.getDecimal(0)
-      if (d == null) java.math.BigDecimal.ZERO else d
-    }
-    var prevSum = hopSum(f)
     var done = prevSum.signum == 0 // no redirects at all
     var round = 0
     while (!done && round < maxRounds) {
       // f' = f∘f: every ptr is a node, so the self-join is total
-      val next = cp(f
+      val (next, nextSum) = cpHopSum(f
         .join(f.select(col("id").as("ptr"), col("ptr").as("ptr2"),
           col("hops").as("hops2")), "ptr")
         .select(col("id"), col("ptr2").as("ptr"),
           (col("hops") + col("hops2")).as("hops")))
-      val nextSum = hopSum(next)
       done = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       f.unpersist()

@@ -43,12 +43,22 @@ object ExtractJob {
       cache: String = "ser"): Result = {
     GraftSession.register(spark)
     val pages = ExtractPipeline.pages(spark, nDocs).toDF()
-    val hot = ExtractPipeline.hotHosts(pages, math.min(nDocs, 2000L), 0.05, totalHint = nDocs)
+    // hot-host detection over the URL-only projection (r6, guide §2.3):
+    // same sampled rows (same ids, partitioning, seed), none of the
+    // per-row HTML/PDF synthesis cost — the old pass generated the
+    // full corpus just to sample 2000 urls
+    val hot = ExtractPipeline.hotHosts(
+      ExtractPipeline.pageUrls(spark, nDocs), math.min(nDocs, 2000L), 0.05,
+      totalHint = nDocs)
+    // no pre-commit exchange (r6): IceTable.writeGroups hash-
+    // distributes each group's slice by (grp, bucket) at the write —
+    // the Iceberg write.distribution-mode=hash analogue — so a
+    // repartition here would shuffle the corpus twice for one layout.
+    // Salting still spreads a hot host across generation tasks' salted
+    // splits for any bucket-keyed exchange a caller adds; extraction
+    // itself is row-local and order-free (SURVEY.md §7.4).
     val out = ExtractPipeline.withBucket(
       ExtractPipeline.extracted(pages), buckets, hot, salts)
-      // one exchange: co-locate by (bucket, salt) so a hot host's rows
-      // spread over `salts` tasks instead of hot-spotting one
-      .repartition(col("bucket"), col("salt"))
       .drop("salt")
     // With >1 resume group, each group is its own Spark job over the
     // shared upstream — persist the extracted rows (spill-friendly) so

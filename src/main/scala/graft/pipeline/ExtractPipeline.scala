@@ -31,6 +31,18 @@ object ExtractPipeline {
       .mapPartitions(_.map(id => PageGen.row(id.longValue())))
   }
 
+  /** URL-only projection of the synthesized pages table (guide §2.3:
+    * project before expensive work): hot-host detection reads nothing
+    * but `url`, and generating the full row for a sampling pass pays
+    * the whole HTML/PDF synthesis (deflate included) per row. Same
+    * ids, same partition layout and order as `pages(n)`, so a seeded
+    * Bernoulli sample selects the identical rows. */
+  def pageUrls(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(0L, n, 1L, math.min(n, spark.sparkContext.defaultParallelism.toLong * 4L).toInt)
+      .mapPartitions(_.map(id => PageGen.urlOf(id.longValue()))).toDF("url")
+  }
+
   /** The recognize stage: one single-pass expression evaluation per
     * row → (url, [passthrough…], text, spans, lang, error). No
     * shuffle — extraction is row-local (1 row = 1 document), so this
@@ -109,9 +121,13 @@ object ExtractPipeline {
     val fraction = math.min(1.0, sampleN.toDouble / math.max(1L, totalRows).toDouble)
     val sampled = pages.sample(withReplacement = false, fraction, seed = 42L)
       .select(host.as("host"))
-    val counts = sampled.groupBy("host").count()
-    val total = math.max(1L, sampled.count())
-    counts.filter(col("count") > lit(threshold * total))
-      .collect().map(_.getString(0)).toSeq.sorted
+    // ONE job (r6): the sample size is the sum of the per-host counts,
+    // so the old separate `sampled.count()` action re-ran the sampling
+    // pass (over full generated rows, a whole synthesis pass) for a
+    // number the groupBy already knows. Identical hot set.
+    val counts = sampled.groupBy("host").count().collect()
+    val total = math.max(1L, counts.map(_.getLong(1)).sum)
+    counts.filter(_.getLong(1) > threshold * total)
+      .map(_.getString(0)).toSeq.sorted
   }
 }

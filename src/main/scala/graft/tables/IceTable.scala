@@ -210,8 +210,10 @@ final class IceTable(val root: String, spark: SparkSession) {
     */
   def commit(df: DataFrame, commitId: String, groups: Int = 8,
              abortAfterGroup: Int = -1,
-             statsCol: Option[String] = None): Long = {
-    val (files, rows) = writeGroups(df, commitId, groups, abortAfterGroup)
+             statsCol: Option[String] = None,
+             distribution: String = "hash"): Long = {
+    val (files, rows) = writeGroups(df, commitId, groups, abortAfterGroup,
+      distribution)
     // an overwrite manifest is parent-independent, so the freshest
     // parent read is correct; a racing flip still collides on the
     // snapshot id and raises ConcurrentCommitException
@@ -239,7 +241,14 @@ final class IceTable(val root: String, spark: SparkSession) {
       parent.exists(_.files.exists(_.path.contains(s"/commit-$commitId/")))
     val parentFiles = parent.map(_.files).getOrElse(Nil)
       .filterNot(_.path.contains(s"/commit-$commitId/"))
-    val (files, rows) = writeGroups(df, commitId, groups, -1)
+    // distribution "none" (r6): micro-batch appends are small, their
+    // caller-shaped layout usually carries contiguous statsCol ranges
+    // per task, and re-hashing would collapse each bucket to one file
+    // whose [min,max] spans the whole batch — destroying the per-file
+    // stats pruning readRange depends on. Small-file growth is the
+    // compact() job's concern (Iceberg's same split of duties).
+    val (files, rows) = writeGroups(df, commitId, groups, -1,
+      distribution = "none")
     val mergedRows = parent.map(_.rows).getOrElse(0L) +
       (if (parentHadThis) 0L else rows)
     // CAS against the parent this manifest was BUILT from: a racing
@@ -253,7 +262,8 @@ final class IceTable(val root: String, spark: SparkSession) {
   }
 
   private def writeGroups(df: DataFrame, commitId: String, groups: Int,
-                          abortAfterGroup: Int): (Seq[DataFileEntry], Long) = {
+                          abortAfterGroup: Int,
+                          distribution: String): (Seq[DataFileEntry], Long) = {
     require(df.columns.contains("bucket"), "df must carry a bucket column")
     val dataDir = new Path(root, s"data/commit-$commitId")
     val progressDir = new Path(metaDir, s"progress/$commitId")
@@ -262,10 +272,23 @@ final class IceTable(val root: String, spark: SparkSession) {
 
     val grouped = df.withColumn("grp", pmod(col("bucket"), lit(groups)))
 
-    (0 until groups).foreach { g =>
+    def doGroup(g: Int): Unit = {
       val marker = new Path(progressDir, s"group-$g.done")
       if (!fs.exists(marker)) {
-        val slice = grouped.filter(col("grp") === g)
+        // hash-distribute the slice by its partition columns before the
+        // write (r6 — the Iceberg write.distribution-mode=hash
+        // analogue, guide §6): without it every input task held rows
+        // of every bucket and the dynamic writer opened one file per
+        // (task × bucket) — a tiny-file explosion (tasks×buckets files
+        // per group) that dominated commit wall time with per-file
+        // writer setup and per-file commit moves. One task per
+        // (grp,bucket) writes one right-sized file; `buckets` is the
+        // deployment-side knob that sizes those files (corpus/buckets
+        // ≈ target file size).
+        val base = grouped.filter(col("grp") === g)
+        val slice =
+          if (distribution == "hash") base.repartition(col("grp"), col("bucket"))
+          else base
         val t0 = System.nanoTime()
         // grp/bucket as real partition dirs: a consistent two-level
         // layout for partition discovery AND bucket-level pruning.
@@ -277,8 +300,10 @@ final class IceTable(val root: String, spark: SparkSession) {
           .partitionBy("grp", "bucket").parquet(dataDir.toString)
         val elapsedMs = (System.nanoTime() - t0) / 1000000
         // lineage: one row per logical bucket (never per salted split —
-        // SURVEY.md §7.7), written alongside the group's data
-        slice.groupBy(col("bucket"))
+        // SURVEY.md §7.7), written alongside the group's data; it
+        // aggregates the UN-redistributed slice (map-side combine from
+        // the cached input — no need to pay the write's exchange again)
+        grouped.filter(col("grp") === g).groupBy(col("bucket"))
           .agg(
             count(lit(1)).as("rows"),
             sum(when(col("error").isNotNull, 1L).otherwise(0L)).as("error_rows"),
@@ -299,8 +324,50 @@ final class IceTable(val root: String, spark: SparkSession) {
         val out = fs.create(marker, true)
         out.write(s"group $g done".getBytes("UTF-8")); out.close()
       }
-      if (g == abortAfterGroup) // test hook: simulated executor/driver loss
-        throw new IllegalStateException(s"simulated crash after group $g")
+    }
+
+    if (abortAfterGroup >= 0 || groups <= 1) {
+      // sequential path: the abort test hook needs a deterministic
+      // "after group g" point (simulated executor/driver loss)
+      (0 until groups).foreach { g =>
+        doGroup(g)
+        if (g == abortAfterGroup)
+          throw new IllegalStateException(s"simulated crash after group $g")
+      }
+    } else {
+      // OVERLAPPED group jobs (r6, guide §2.6): group writes are
+      // independent (disjoint grp= partition dirs, disjoint lineage
+      // partitions, per-job staging dirs), and running them from a
+      // small pool lets the next group's tasks back-fill executors
+      // freed by the current group's write tail — actions were only
+      // sequential because this loop called them sequentially. Resume
+      // and cancel semantics are unchanged: markers still flip only
+      // after a group's data+lineage landed, unfinished groups are
+      // cleanly re-written by the dynamic overwrite on re-run, and the
+      // pool threads inherit the caller's cancellable job group
+      // (thread-locals are inheritable at thread creation).
+      if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) {
+        // fill the shared cache ONCE before concurrent jobs: a cold
+        // cache raced by several group jobs would compute the same
+        // upstream (extraction) partitions more than once
+        grouped.count()
+      }
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(groups, 3))
+      try {
+        val futs = (0 until groups).map { g =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = doGroup(g)
+          })
+        }
+        // propagate the first real failure (unwrap the pool's wrapper)
+        futs.foreach { fut =>
+          try fut.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw if (e.getCause != null) e.getCause else e
+          }
+        }
+      } finally pool.shutdownNow()
     }
 
     // collect this commit's file list and its row count
