@@ -145,31 +145,39 @@ object FusedSegmenter {
     out.toIndexedSeq
   }
 
-  def segmentRaw(html: String): RawBlocks = {
-    val rb = new RawBlocks
-    val n = html.length
+  def segmentRaw(html: String): RawBlocks = new Seg(html).run()
+
+  /** Segmentation state as PLAIN FIELDS (r6): the previous spelling
+    * held the state in local `var`s captured by nested defs, which
+    * scalac compiles to heap-allocated runtime Ref boxes — a double
+    * indirection on every character of every document. Logic is
+    * char-for-char identical (FusedEquivalenceSpec + the frozen golden
+    * digest attest). */
+  private final class Seg(html: String) {
+    private[this] val rb = new RawBlocks
+    private[this] val n = html.length
 
     // segmentation state (mirrors BlockSegmenter.segment)
-    var part = 1
-    var seenArticle = false
-    var boilerDepth = 0
-    var dropDepth = 0
-    var aDepth = 0
-    var headingDepth = 0
-    var liDepth = 0
+    private[this] var part = 1
+    private[this] var seenArticle = false
+    private[this] var boilerDepth = 0
+    private[this] var dropDepth = 0
+    private[this] var aDepth = 0
+    private[this] var headingDepth = 0
+    private[this] var liDepth = 0
     // block accumulation: normalized text appended straight into the
     // shared doc buffer (the unfused path normalizes at flush; direct
     // normalization is equivalent because normalize() is a streaming
     // fold); the current block is buf[blockStart, buf.length)
-    val norm = rb.buf
-    var blockStart = 0
-    var pendingSpace = false
-    var words = 0
-    var linkWords = 0
-    var inWord = false
-    var blockBoiler = false
+    private[this] val norm = rb.buf
+    private[this] var blockStart = 0
+    private[this] var pendingSpace = false
+    private[this] var words = 0
+    private[this] var linkWords = 0
+    private[this] var inWord = false
+    private[this] var blockBoiler = false
 
-    def flush(): Unit = {
+    private def flush(): Unit = {
       if (norm.length > blockStart) {
         val kindId =
           if (headingDepth > 0) 1
@@ -184,7 +192,7 @@ object FusedSegmenter {
     }
 
     // append one decoded character of text content
-    @inline def emitChar(c: Char): Unit = {
+    @inline private def emitChar(c: Char): Unit = {
       if (isWs(c)) {
         if (norm.length > blockStart) pendingSpace = true
         inWord = false
@@ -199,11 +207,46 @@ object FusedSegmenter {
         }
       }
     }
-    @inline def emitString(t: String): Unit = {
+    @inline private def emitString(t: String): Unit = {
       var k = 0
       while (k < t.length) { emitChar(t.charAt(k)); k += 1 }
     }
 
+    /** Emit a text run html[from,until) known to contain no '<'/'&':
+      * whitespace-delimited word segments are appended in BULK
+      * (StringBuilder.append(seq, start, end) — one capacity check and
+      * one array copy per segment instead of per char), with the exact
+      * per-char state transitions of emitChar at the segment
+      * boundaries. The emitChar fold and this run loop are
+      * step-equivalent: each ws char performs the same
+      * pendingSpace/inWord updates, and a maximal non-ws segment is
+      * emitChar's "first char starts the word, rest append". */
+    private def emitRun(from: Int, until: Int): Unit = {
+      val s = html
+      var k = from
+      while (k < until) {
+        val c = s.charAt(k)
+        if (isWs(c)) {
+          if (norm.length > blockStart) pendingSpace = true
+          inWord = false
+          k += 1
+        } else {
+          var j = k + 1
+          while (j < until && !isWs(s.charAt(j))) j += 1
+          if (pendingSpace) { norm.append(' '); pendingSpace = false }
+          norm.append(s, k, j)
+          if (!inWord) {
+            inWord = true
+            words += 1
+            if (aDepth > 0) linkWords += 1
+            if (boilerDepth > 0) blockBoiler = true
+          }
+          k = j
+        }
+      }
+    }
+
+    def run(): RawBlocks = {
     var i = 0
     while (i < n) {
       val c = html.charAt(i)
@@ -216,8 +259,11 @@ object FusedSegmenter {
           i = next
         }
       } else if (c != '<') {
-        if (dropDepth == 0) emitChar(c)
-        i += 1
+        // bulk text run: consume to the next markup/entity character
+        var e = i + 1
+        while (e < n && { val ch = html.charAt(e); ch != '<' && ch != '&' }) e += 1
+        if (dropDepth == 0) emitRun(i, e)
+        i = e
       } else if (i + 1 >= n) {
         if (dropDepth == 0) emitChar(c)
         i += 1
@@ -309,6 +355,7 @@ object FusedSegmenter {
     }
     flush()
     rb
+    }
   }
 
   @inline private def isNameStart(c: Char): Boolean =
