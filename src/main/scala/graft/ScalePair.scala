@@ -96,9 +96,20 @@ object ScalePair {
       * the alone leg was steal-hit (the measurement is invalid, not
       * that scaling is superlinear); ≤0 is a degenerate capture; and a
       * run whose legs did not byte-identically reproduce the input
-      * (checksum mismatch) measured the wrong computation entirely. */
+      * (checksum mismatch) measured the wrong computation entirely.
+      *
+      * Internal-consistency gate (r6 — VERDICT r5 "what's wrong" #1:
+      * a pair with t_4N 12.25 s vs t_full 6.88 s passed as valid AND
+      * clean and dragged every median it touched): t_4N ≤ 1.1·t_full.
+      * Four concurrent quarter-legs taking longer than ONE leg over
+      * the FULL input is impossible as genuine contention — it marks
+      * host-level interference the steal counters did not see. (The
+      * t_4N-vs-t_alone direction is already bounded by the efficiency
+      * ≤ 1.05 cap — eff = t_alone/t_4N.) Uses times every history row
+      * already records. */
     def valid: Boolean =
-      efficiency > 0.0 && efficiency <= 1.05 && checksumMatch
+      efficiency > 0.0 && efficiency <= 1.05 && checksumMatch &&
+        t4N <= tFull * 1.1
 
     /** The strong-shape number is physically meaningful under the same
       * rule (see strongEfficiency scaladoc: GC superlinearity or a
