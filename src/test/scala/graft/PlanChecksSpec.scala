@@ -97,6 +97,11 @@ class PlanChecksSpec extends AnyFunSuite {
     val p = plan("b1_bm25")
     assert(p.contains("BroadcastHashJoin"), p.take(900))
     assert(!p.contains("CartesianProduct"), p.take(900))
+    // r6 (VERDICT r5 #6): the doclen side must be left-semi PRUNED to
+    // query-term-bearing docs before the scoring join — dl is
+    // corpus-sized while the candidate set is a sliver
+    assert(p.contains("LeftSemi"),
+      s"dl must be semi-pruned below the scoring join:\n${p.take(900)}")
   }
 
   test("t20's merge-candidate window runs over the pair aggregate, never the corpus") {
