@@ -312,7 +312,11 @@ object Queries {
     "x4_extract_bucketed" -> ((s, _) => {
       GraftSession.register(s)
       val pages = ExtractPipeline.pages(s, 2000).toDF()
-      val hot = ExtractPipeline.hotHosts(pages, 1000, 0.05, totalHint = 2000)
+      // URL-only hot-host sampling (r6, guide §2.3) — identical hot set
+      // (same ids, partitioning and sample seed), none of the full-row
+      // synthesis cost
+      val hot = ExtractPipeline.hotHosts(
+        ExtractPipeline.pageUrls(s, 2000), 1000, 0.05, totalHint = 2000)
       ExtractPipeline.withBucket(ExtractPipeline.extracted(pages), 32, hot, 8)
         .select(col("url"), col("bucket"), col("salt"))
         .orderBy("url")

@@ -512,11 +512,16 @@ object OpsQueries {
     // docs per host. The oracle replays all four stages in SQL.
     "p1_training_corpus" -> ((s, dir) => {
       GraftSession.register(s)
+      // planted base materialized once (localCheckpoint — r6): the
+      // composition references it ~5x (corpus twice, keepers, eval
+      // set, C4 stage) and each reference re-read and re-planted the
+      // corpus; one small table, much smaller plan
       val base = t(s, dir, "documents").select(col("doc_id"), col("source"),
         concat(col("text"),
           when(col("doc_id") % 10 === 0, lit(" lorem ipsum")).otherwise(lit("")),
           when(col("doc_id") % 9 === 0, lit(" brace { here }")).otherwise(lit("")),
           lit(" end of document.")).as("text"))
+        .localCheckpoint()
       val corpus = base.unionAll(base.filter(col("doc_id") % 6 === 0)
         .select((col("doc_id") + 400000).as("doc_id"), col("source"), col("text")))
       val keepers = corpus.groupBy(sha2(col("text"), 256).as("sha"))
