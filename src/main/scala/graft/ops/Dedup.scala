@@ -559,11 +559,12 @@ object Dedup {
     * the 10^12-scale path; brute force stays in the test oracle. */
   def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                             minCosine: Double, planes: Int = 12): DataFrame = {
-    // materialized once (localCheckpoint — r6): both self-join sides
-    // otherwise recompute the scan + plane projections
+    // NOT materialized (r6: measured — a checkpoint here regressed
+    // 0.75→0.88 s; the plane projection is too cheap to out-cost the
+    // barrier on a small embedding table, unlike the minhash/simhash
+    // signature tables)
     val b = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       call_function("graft_lsh_bucket", col(vecCol), lit(planes)).as("bucket"))
-      .localCheckpoint()
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .withColumn("cosine", Similarity.cosine(col("a.v"), col("b.v")))

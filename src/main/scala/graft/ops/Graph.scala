@@ -238,15 +238,18 @@ object Graph {
     val nodes = e.select(col("src").as("host"))
       .union(e.select(col("dst").as("host"))).distinct().persist()
     require(!e.isEmpty, "hits: empty graph")
-    // one small agg job per half-step; score tables are nodes-sized.
-    // Each raw frame is PERSISTED before its max-action so the next
-    // half-step reads the materialized table instead of recomputing
-    // the whole round chain; all of them release on exit.
+    // one job per half-step: the raw frame is CHECKPOINTED with its
+    // max riding the same materializing action as an OBSERVED metric
+    // (r6 — the connectedComponents/resolveChains discipline; the old
+    // persist+agg pair cost the same job but left the full round
+    // chain in every later half-step's plan, growing planning time
+    // per step); all frames release on exit.
     val loopFrames = scala.collection.mutable.ArrayBuffer[DataFrame]()
     def rescale(full: DataFrame, c: String): DataFrame = {
-      val f = full.persist()
+      val obs = org.apache.spark.sql.Observation()
+      val f = cp(full.observe(obs, max(col(c)).as("mx")))
       loopFrames += f
-      val mx = f.agg(max(c)).head().getLong(0)
+      val mx = obs.get("mx").asInstanceOf[java.lang.Long].longValue()
       // mx > 0 always: every edge endpoint is a node, so some node
       // received a positive sum from the scale-initialized other side
       f.select(col("host"), expr(s"($c * $scale) div $mx").as(c))
@@ -266,9 +269,8 @@ object Graph {
           Seq("host"), "left_outer")
         .select(col("host"), coalesce(col("hub"), lit(0L)).as("hub"))
       hubs = rescale(hraw, "hub")
-      if (i % checkpointInterval == 0 && i < iters) {
-        auths = cp(auths); hubs = cp(hubs)
-      }
+      // no separate interval checkpoint needed: every half-step is
+      // already materialized with truncated lineage by rescale (r6)
     }
     val out = cp(hubs.join(auths, "host").select("host", "hub", "auth"))
     loopFrames.foreach(_.unpersist())

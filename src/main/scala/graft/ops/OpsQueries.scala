@@ -1027,9 +1027,13 @@ object OpsQueries {
           .otherwise(concat(lit("?id="), k % 50)),
         when(col("doc_id") % 7 === 0, concat(lit("#frag"), col("doc_id") % 5))
           .otherwise(lit("")))
+      // synthesized+canonicalized url table materialized once (r6):
+      // the keeper aggregate and the join-back probe each re-ran the
+      // url synthesis and the full canonicalization expression chain
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), url.as("url"))
         .withColumn("canon_url", UrlCanon.canon(col("url")))
+        .localCheckpoint()
       val groups = docs.groupBy("canon_url")
         .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
       docs.join(groups, "canon_url")
